@@ -1,0 +1,191 @@
+"""Scene device tables and static render configuration.
+
+The reference hardcodes the scene inside kernels as an array of polymorphic
+``Geometry*`` (Scene, global_launcher.cu:841-846) constructed in
+``KernelInit<<<1,1>>>`` (global_launcher.cu:848-881).  The TPU design replaces
+virtual dispatch with *typed SoA tables* — one sphere table, one triangle-mesh
+table — plus a materials table indexed by object id.  ``intersect_all``
+becomes two batched intersection passes merged with a min-t select
+(semantics of Scene::intersect_all, global_launcher.cu:716-736; object ids
+are assigned in insertion order, spheres 0..S-1 then the mesh at id S, same
+as the reference's addObject ordering).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinggpu_tpu.core.vec import Vec3
+from raytracinggpu_tpu.ops.sphere import SphereTable
+from raytracinggpu_tpu.ops.triangle import TriTables, build_tri_tables
+from raytracinggpu_tpu.scene.mesh import MeshData
+
+
+class Materials(NamedTuple):
+    """Per-object material columns, indexed by object id (Geometry fields
+    albedo/mirror/in_refraction_index/out_refraction_index,
+    global_launcher.cu:101-113)."""
+
+    albedo: Vec3        # (M,)
+    mirror: jnp.ndarray  # (M,) bool
+    in_ri: jnp.ndarray   # (M,)
+    out_ri: jnp.ndarray  # (M,)
+
+
+class BVHTables(NamedTuple):
+    """Device copy of the flat BVH (SoA per field + preorder skip links)."""
+
+    left: jnp.ndarray
+    right: jnp.ndarray
+    tri_start: jnp.ndarray
+    tri_end: jnp.ndarray
+    skip: jnp.ndarray
+    mn: Vec3
+    mx: Vec3
+
+
+class ClusterTables(NamedTuple):
+    """Cluster-cut view for the culled MXU mode: K clusters of `cap`
+    triangles each (padded), with per-cluster AABBs; `mt` is the blocked MT
+    feature matrix (K, 10, 4, cap)."""
+
+    mn: Vec3  # (K,)
+    mx: Vec3
+    mt: jnp.ndarray
+    base: jnp.ndarray  # (K,) start of each cluster in the padded tri tables
+
+
+class SceneTables(NamedTuple):
+    """Everything the integrator needs on device (a single pytree)."""
+
+    spheres: SphereTable
+    materials: Materials
+    mesh: TriTables | None
+    bvh: BVHTables | None
+    clusters: ClusterTables | None
+    L: Vec3          # point light position (scalars)
+    intensity: Any   # light intensity (scalar)
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) parameters of one reference launcher config —
+    the per-variant deltas of SURVEY.md §2.7."""
+
+    name: str = "global"
+    width: int = 512
+    height: int = 512
+    spp: int = 32
+    max_depth: int = 5          # CLI <num_bounces>
+    sigma: float = 0.2          # AA jitter (0 in cpu_launcher.cpp:704)
+    eps_bounce: float = 1e-4    # bounce offset (1e-3 CPU, cpu_launcher.cpp:575)
+    eps_leaf: float = 1e-4      # mesh leaf t epsilon (see ops/triangle.py)
+    fov: float = float(np.pi / 3)
+    camera_c: tuple = (0.0, 0.0, 55.0)
+    smooth_normals: bool = False   # realtime-only Phong normals
+    camera_point_quirk: bool = False  # realtime adds cam.C into the direction
+    n_objects: int = 7
+    mesh_object_id: int = 6     # -1 when the scene has no mesh
+    traversal: str = "dense"    # dense | cluster | bvh
+    ray_chunk: int = 65536      # rays per inner chunk (memory control)
+    tri_block: int = 512        # triangle block for the dense scan
+    mxu_precision: str = "highest"  # highest | default (bf16 fast path)
+
+    @property
+    def has_mesh(self) -> bool:
+        return self.mesh_object_id >= 0
+
+    @property
+    def precision(self):
+        return (
+            jax.lax.Precision.HIGHEST
+            if self.mxu_precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_scene_tables(
+    spheres: list,
+    materials: list,
+    L,
+    intensity: float,
+    mesh: MeshData | None,
+    mesh_albedo=(0.25, 0.25, 0.25),
+    tri_block: int = 512,
+) -> SceneTables:
+    """Assemble device tables from host data.
+
+    spheres: list of (center(3,), radius); materials: matching list of
+    (albedo(3,), mirror, in_ri, out_ri).  The mesh (diffuse, albedo 0.25,
+    global_launcher.cu:866) is appended as the last object id.
+    """
+    mats = list(materials)
+    if mesh is not None:
+        mats.append((mesh_albedo, False, 1.0, 1.0))
+    alb = np.array([m[0] for m in mats], np.float32)
+    mirror = np.array([m[1] for m in mats], bool)
+    in_ri = np.array([m[2] for m in mats], np.float32)
+    out_ri = np.array([m[3] for m in mats], np.float32)
+
+    mesh_tables = None
+    bvh_tables = None
+    cl_tables = None
+    if mesh is not None:
+        pad_to = _round_up(mesh.n_tri, tri_block)
+        mesh_tables = build_tri_tables(
+            mesh.A, mesh.B, mesh.C, mesh.na, mesh.nb, mesh.nc, pad_to=pad_to
+        )
+        b = mesh.bvh
+        bvh_tables = BVHTables(
+            left=jnp.asarray(b.left),
+            right=jnp.asarray(b.right),
+            tri_start=jnp.asarray(b.tri_start),
+            tri_end=jnp.asarray(b.tri_end),
+            skip=jnp.asarray(b.skip),
+            mn=Vec3(*[jnp.asarray(b.mn[:, i]) for i in range(3)]),
+            mx=Vec3(*[jnp.asarray(b.mx[:, i]) for i in range(3)]),
+        )
+        cl_tables = _build_cluster_tables(mesh)
+
+    return SceneTables(
+        spheres=SphereTable.from_list(spheres),
+        materials=Materials(
+            albedo=Vec3(alb[:, 0], alb[:, 1], alb[:, 2]),
+            mirror=jnp.asarray(mirror),
+            in_ri=jnp.asarray(in_ri),
+            out_ri=jnp.asarray(out_ri),
+        ),
+        mesh=mesh_tables,
+        bvh=bvh_tables,
+        clusters=cl_tables,
+        L=Vec3.const(*np.asarray(L, np.float32)),
+        intensity=jnp.float32(intensity),
+    )
+
+
+def _build_cluster_tables(mesh: MeshData) -> ClusterTables:
+    """Per-cluster padded MT matrices for the culled MXU mode."""
+    cl = mesh.clusters
+    K = len(cl.starts)
+    cap = _round_up(max(cl.cap, 8), 8)
+    mts = np.zeros((K, 10, 4, cap), np.float32)
+    bases = np.zeros(K, np.int32)
+    for k in range(K):
+        s, e = int(cl.starts[k]), int(cl.ends[k])
+        tt = build_tri_tables(mesh.A[s:e], mesh.B[s:e], mesh.C[s:e], pad_to=cap)
+        mts[k] = tt.mt
+        bases[k] = s
+    return ClusterTables(
+        mn=Vec3(cl.mn[:, 0].copy(), cl.mn[:, 1].copy(), cl.mn[:, 2].copy()),
+        mx=Vec3(cl.mx[:, 0].copy(), cl.mx[:, 1].copy(), cl.mx[:, 2].copy()),
+        mt=jnp.asarray(mts),
+        base=jnp.asarray(bases),
+    )

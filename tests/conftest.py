@@ -1,0 +1,35 @@
+"""Test environment: force CPU with 8 virtual devices so multi-chip sharding
+is testable without TPU hardware (the TPU answer to 'test distributed without
+a cluster' — SURVEY.md §4).
+
+The environment force-registers a TPU backend via sitecustomize and sets
+JAX_PLATFORMS=axon, so plain env overrides are not enough; the config update
+below must run before any JAX backend initializes.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def cat_mesh_raw():
+    """Parsed cat OBJ without transforms (session-cached)."""
+    from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH, read_obj
+
+    return read_obj(CAT_OBJ_PATH)
