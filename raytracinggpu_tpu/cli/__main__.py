@@ -1,0 +1,3 @@
+from raytracinggpu_tpu.cli.main import main
+
+raise SystemExit(main())

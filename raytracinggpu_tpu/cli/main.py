@@ -1,0 +1,172 @@
+"""Command-line frontend.
+
+The reference's CLI surface is one positional pair per binary —
+``./binary <num_rays> <num_bounces>`` (global_launcher.cu:971-976) — with
+everything else a compile-time constant and each optimization variant its own
+Makefile target (SURVEY.md §5 'Makefile-target-as-config').  Here one CLI
+exposes all of it: scene preset, resolution, spp/bounces, traversal mode
+(the ablation axis), precision, sharding, and the realtime loop.
+
+Usage examples:
+  python -m raytracinggpu_tpu.cli render --preset array_bvh 32 5 --out img.png
+  python -m raytracinggpu_tpu.cli render --preset global --traversal dense
+  python -m raytracinggpu_tpu.cli realtime --frames 60 --out-dir frames/
+  python -m raytracinggpu_tpu.cli bench --preset array_bvh
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("spp", nargs="?", type=int, default=None,
+                   help="samples per pixel (reference <num_rays>)")
+    p.add_argument("bounces", nargs="?", type=int, default=None,
+                   help="max ray depth (reference <num_bounces>)")
+    p.add_argument("--preset", default="array_bvh",
+                   choices=["cpu", "global", "optimized", "array_bvh",
+                            "realtime", "showcase"])
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--spp", dest="spp_flag", type=int, default=None)
+    p.add_argument("--bounces", dest="bounces_flag", type=int, default=None)
+    p.add_argument("--traversal", default=None,
+                   choices=["dense", "cluster", "bvh"],
+                   help="mesh intersection mode (the ablation axis)")
+    p.add_argument("--precision", default=None, choices=["highest", "default"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard across N devices ((N,1) px-mesh)")
+
+
+def _build(args):
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    over = dict(width=args.width, height=args.height)
+    spp = args.spp_flag if args.spp_flag is not None else args.spp
+    bounces = args.bounces_flag if args.bounces_flag is not None else args.bounces
+    if spp is not None:
+        over["spp"] = spp
+    if bounces is not None:
+        over["max_depth"] = bounces
+    if args.traversal:
+        over["traversal"] = args.traversal
+    if args.precision:
+        over["mxu_precision"] = args.precision
+    return build_preset(args.preset, **over)
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+
+    from raytracinggpu_tpu.render.image_io import tonemap, write_png
+    from raytracinggpu_tpu.render.pipeline import Camera, render_frame
+    from raytracinggpu_tpu.utils.profiling import ray_report
+
+    cfg, tables = _build(args)
+    cam = Camera.fixed(cfg.camera_c)
+    key = jax.random.PRNGKey(args.seed)
+
+    t0 = time.perf_counter()
+    if args.devices > 1:
+        from raytracinggpu_tpu.parallel.sharding import (
+            make_mesh,
+            render_frame_sharded,
+        )
+
+        mesh = make_mesh(n_px=args.devices, n_sp=1,
+                         devices=jax.devices()[: args.devices])
+        img, stats = render_frame_sharded(tables, cfg, cam, key, mesh)
+    else:
+        img, stats = render_frame(tables, cfg, cam, key)
+    img.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    out = args.out or f"image_{args.preset}.png"
+    write_png(out, tonemap(np.asarray(img)))
+    rep = ray_report(stats, cfg.spp, cfg.width, cfg.height, wall)
+    print(f"Rendering time: {wall:.3f} s")  # reference print shape
+    print(json.dumps(rep))
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_realtime(args) -> int:
+    from raytracinggpu_tpu.render.realtime import run_loop
+    from raytracinggpu_tpu.utils.checkpoint import save_state
+
+    cfg, tables = _build(args)
+    raw = sys.stdout.buffer if args.raw else None
+    state, summary = run_loop(
+        tables,
+        cfg,
+        n_frames=args.frames,
+        seed=args.seed,
+        out_dir=args.out_dir,
+        raw_pipe=raw,
+        angular_speed=args.light_speed,
+    )
+    if args.checkpoint:
+        save_state(args.checkpoint, state)
+        print(f"checkpoint -> {args.checkpoint}")
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from raytracinggpu_tpu.bench.sweep import run_sweep
+
+    run_sweep(
+        preset=args.preset,
+        width=args.width,
+        height=args.height,
+        spps=[int(s) for s in args.spps.split(",")],
+        bounces=[int(b) for b in args.bounce_list.split(",")],
+        repeats=args.repeats,
+        traversal=args.traversal or "dense",
+        out=args.out,
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="raytracinggpu_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="single-frame render to PNG")
+    _add_common(pr)
+    pr.add_argument("--out", default=None)
+
+    pt = sub.add_parser("realtime", help="progressive loop with circulating light")
+    _add_common(pt)
+    pt.set_defaults(preset="realtime")
+    pt.add_argument("--frames", type=int, default=30)
+    pt.add_argument("--out-dir", default=None)
+    pt.add_argument("--raw", action="store_true",
+                    help="stream raw RGB24 frames to stdout (ffmpeg pipe)")
+    pt.add_argument("--light-speed", type=float, default=1.0)
+    pt.add_argument("--checkpoint", default=None)
+
+    pb = sub.add_parser("bench", help="benchmark sweep (benchmark.py parity)")
+    _add_common(pb)
+    pb.add_argument("--spps", default="1,2,4,8,16,32,64,128,256")
+    pb.add_argument("--bounce-list", default="1,2,3,4,5,6,7,8,9,10")
+    pb.add_argument("--repeats", type=int, default=5)
+    pb.add_argument("--out", default=None)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "render":
+        return cmd_render(args)
+    if args.cmd == "realtime":
+        return cmd_realtime(args)
+    if args.cmd == "bench":
+        return cmd_bench(args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

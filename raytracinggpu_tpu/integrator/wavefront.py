@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raytracinggpu_tpu.core.rng import cosine_hemisphere
 from raytracinggpu_tpu.core.vec import Vec3, vgather, vwhere
@@ -48,7 +49,7 @@ from raytracinggpu_tpu.ops.triangle import (
 )
 from raytracinggpu_tpu.scene.scene import RenderConfig, SceneTables
 
-PI = jnp.float32(jnp.pi)
+PI = np.float32(np.pi)
 
 
 class Hit(NamedTuple):
@@ -72,6 +73,19 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             mh = intersect_tris_dense(
                 O, u, scene.mesh, cfg.eps_leaf, cfg.tri_block, cfg.precision
             )
+        elif cfg.traversal == "pallas":
+            from raytracinggpu_tpu.ops.pallas_trace import (
+                intersect_tris_pallas,
+                recompute_barycentrics,
+            )
+
+            interpret = jax.devices()[0].platform != "tpu"
+            mh = intersect_tris_pallas(
+                O, u, scene.pallas_mesh, cfg.eps_leaf, interpret=interpret
+            )
+            if cfg.smooth_normals:
+                beta, gamma = recompute_barycentrics(O, u, scene.pallas_mesh, mh)
+                mh = mh._replace(beta=beta, gamma=gamma)
         elif cfg.traversal == "bvh":
             from raytracinggpu_tpu.ops.bvh_traverse import intersect_tris_bvh
 
@@ -96,7 +110,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
 
         use_mesh = mh.t < t_s
         t = jnp.where(use_mesh, mh.t, t_s)
-        obj = jnp.where(use_mesh, jnp.int32(cfg.mesh_object_id), obj_s)
+        obj = jnp.where(use_mesh, np.int32(cfg.mesh_object_id), obj_s)
         obj = jnp.where(t < INF, obj, -1)
         N = vwhere(use_mesh, N_m, N_s)
 
@@ -136,9 +150,9 @@ def trace(
       (color Vec3 (R,), TraceStats).
     """
     mats = scene.materials
-    eps = jnp.float32(cfg.eps_bounce)
+    eps = np.float32(cfg.eps_bounce)
     R = O.x.shape[0]
-    ri0 = jnp.ones((R,), jnp.float32)
+    ri0 = jnp.ones_like(O.x)
 
     def depth_step(carry, xs):
         O, u, ri = carry

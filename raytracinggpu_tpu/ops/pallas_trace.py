@@ -1,0 +1,300 @@
+"""Pallas TPU kernel: fused mesh closest-hit with tile-AABB culling.
+
+This is the TPU-native replacement for the reference's per-thread BVH
+traversal (the divergent pointer/int-stack loops of
+global_launcher.cu:245-286 and optimized.cu:220-285).  Instead of a
+per-lane stack — hostile to an 8x128 SIMD VPU — the kernel exploits the
+*flat, spatially-ordered* triangle layout the BVH build produces
+(contiguous leaf ranges, optimized.cu:494-534):
+
+- triangles live in BVH (preorder leaf) order, grouped into 128-wide tiles;
+  each tile's AABB is tight because neighboring triangles are spatially
+  close — the tile table IS the acceleration structure, a two-level BVH
+  with SIMD-width leaves,
+- one kernel program owns a block of 128 rays; for every tile it slab-tests
+  the tile AABB for all rays (a handful of (128,1) VPU ops) and skips the
+  tile for the whole block when no ray can hit it (`pl.when` — block-uniform
+  control flow, the TPU analog of warp-coherent traversal),
+- surviving tiles run Moller-Trumbore *elementwise* on the (128 rays x 128
+  tris) tile: unlike the XLA matmul formulation (ops/triangle.py) there is
+  no contraction-dim padding waste and every intermediate stays in
+  VMEM/registers — zero HBM traffic between intersection and reduction,
+- the running (t, tile) winner is tracked per lane and reduced once at the
+  end (min + masked-iota argmin, no gathers).
+
+Per-triangle constants (16 floats: Ng, e2 x A, e2, e1 x A, e1, A.Ng) are
+precomputed on host and stay VMEM-resident across the whole grid (constant
+index map).  Ray features are [u, w=O x u, O, 1/u] — the same factorization
+as ops/triangle.py plus reciprocal directions for the slab test
+(global_launcher.cu:172-183 divides per ray per node; here it's one
+reciprocal per ray reused for every tile).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracinggpu_tpu.core.vec import Vec3
+from raytracinggpu_tpu.ops.triangle import TriHit
+
+INF = 1e9 + 9
+TILE_T = 128   # triangles per tile (lane dimension)
+BLK_R = 1024   # rays per kernel program (8 output sublanes x 128 lanes)
+NUM_FIELDS = 16
+
+
+class PallasMeshTables(NamedTuple):
+    """Device tables for the fused kernel.
+
+    fields: (16, Tp) f32 per-triangle constants in BVH order:
+        0-2 Ng, 3-5 e2 x A, 6-8 e2, 9-11 e1 x A, 12-14 e1, 15 A.Ng
+    tile_aabb: (n_tiles, 8) f32 [mn.xyz, mx.xyz, pad, pad]
+    n_tiles: static tile count (Tp // 128).
+    """
+
+    fields: jnp.ndarray
+    tile_aabb: jnp.ndarray
+    n_tiles: int
+
+
+def build_pallas_tables(A, B, C, pad_to: int | None = None) -> PallasMeshTables:
+    """Host-side table build from BVH-ordered triangle vertices (T, 3)."""
+    A = np.asarray(A, np.float32)
+    B = np.asarray(B, np.float32)
+    C = np.asarray(C, np.float32)
+    T = A.shape[0]
+    Tp = pad_to or -(-T // TILE_T) * TILE_T
+    Tp = -(-Tp // TILE_T) * TILE_T
+
+    def pad(v):
+        return np.pad(v, ((0, Tp - T), (0, 0)))
+
+    Ap, Bp, Cp = pad(A), pad(B), pad(C)
+    e1 = Bp - Ap
+    e2 = Cp - Ap
+    ng = np.cross(e1, e2)
+
+    f = np.zeros((NUM_FIELDS, Tp), np.float32)
+    f[0:3] = ng.T
+    f[3:6] = np.cross(e2, Ap).T
+    f[6:9] = e2.T
+    f[9:12] = np.cross(e1, Ap).T
+    f[12:15] = e1.T
+    f[15] = np.einsum("td,td->t", Ap, ng)
+
+    n_tiles = Tp // TILE_T
+    # Row n_tiles is the whole-mesh root box (kernel's block-level early-out).
+    aabb = np.zeros((n_tiles + 1, 8), np.float32)
+    for j in range(n_tiles):
+        s, e = j * TILE_T, min((j + 1) * TILE_T, T)
+        if s >= T:
+            # Padding-only tile: empty box that no ray can hit.
+            aabb[j, 0:3] = INF
+            aabb[j, 3:6] = -INF
+            continue
+        pts = np.concatenate([A[s:e], B[s:e], C[s:e]], axis=0)
+        aabb[j, 0:3] = pts.min(axis=0)
+        aabb[j, 3:6] = pts.max(axis=0)
+    pts = np.concatenate([A, B, C], axis=0)
+    aabb[n_tiles, 0:3] = pts.min(axis=0)
+    aabb[n_tiles, 3:6] = pts.max(axis=0)
+    return PallasMeshTables(
+        fields=jnp.asarray(f), tile_aabb=jnp.asarray(aabb), n_tiles=n_tiles
+    )
+
+
+def _ray_features16(O: Vec3, u: Vec3) -> jnp.ndarray:
+    """(R, 16): [u(3), w=O x u(3), O(3), 1/u(3), 0(4)]."""
+    w = O.cross(u)
+    rcp = Vec3(1.0 / u.x, 1.0 / u.y, 1.0 / u.z)
+    z = jnp.zeros_like(u.x)
+    return jnp.stack(
+        [u.x, u.y, u.z, w.x, w.y, w.z, O.x, O.y, O.z,
+         rcp.x, rcp.y, rcp.z, z, z, z, z],
+        axis=-1,
+    )
+
+
+def _closest_hit_kernel(eps_leaf, track_idx,
+                        ids_ref, na_ref, rf_ref, tri_ref,
+                        t_ref, idx_ref, t_run, tile_run):
+    b = pl.program_id(0)
+    col = lambda k: rf_ref[:, k:k + 1]                      # (BLK_R, 1)
+    ux, uy, uz = col(0), col(1), col(2)
+    wx, wy, wz = col(3), col(4), col(5)
+    Ox, Oy, Oz = col(6), col(7), col(8)
+
+    t_run[:] = jnp.full((BLK_R, TILE_T), INF, jnp.float32)
+    if track_idx:
+        tile_run[:] = jnp.zeros((BLK_R, TILE_T), jnp.int32)
+
+    # Scalar-driven loop over the block's PRE-CULLED active tiles.  The slab
+    # tests run vectorized in XLA outside the kernel (per-ray tests reduced
+    # to a per-(block, tile) any-mask); in here the only control flow is one
+    # fori_loop with a trip count from SMEM — no vector->scalar reductions,
+    # no per-tile branches, both of which measured ~10x slower than the
+    # triangle math they were guarding.
+    def body(i, carry):
+        tid = ids_ref[b, i]
+        off = pl.multiple_of(tid * TILE_T, TILE_T)
+        sl = pl.ds(off, TILE_T)
+        row = lambda k: tri_ref[k:k + 1, sl]                # (1, TILE_T)
+        ngx, ngy, ngz = row(0), row(1), row(2)
+        c2x, c2y, c2z = row(3), row(4), row(5)
+        e2x, e2y, e2z = row(6), row(7), row(8)
+        c1x, c1y, c1z = row(9), row(10), row(11)
+        e1x, e1y, e1z = row(12), row(13), row(14)
+        adn = row(15)
+
+        denom = ux * ngx + uy * ngy + uz * ngz
+        bnum = (ux * c2x + uy * c2y + uz * c2z) - (
+            wx * e2x + wy * e2y + wz * e2z
+        )
+        gnum = (wx * e1x + wy * e1y + wz * e1z) - (
+            ux * c1x + uy * c1y + uz * c1z
+        )
+        tnum = adn - (Ox * ngx + Oy * ngy + Oz * ngz)
+        rden = 1.0 / denom
+        beta = bnum * rden
+        gamma = gnum * rden
+        tval = tnum * rden
+        # min(beta, gamma, 1-beta-gamma) >= 0 folds the five barycentric
+        # range checks of moller_trumbore (global_launcher.cu:238-242) into
+        # two mins + one compare; t > max(eps, 0) folds t>0 with the leaf
+        # epsilon.
+        bary_ok = jnp.minimum(
+            jnp.minimum(beta, gamma), 1.0 - beta - gamma
+        ) >= 0.0
+        valid = (
+            (denom != 0.0) & bary_ok
+            & (tval > max(float(eps_leaf), 0.0))
+        )
+        tmask = jnp.where(valid, tval, INF)
+        upd = tmask < t_run[:]
+        t_run[:] = jnp.where(upd, tmask, t_run[:])
+        if track_idx:
+            tile_run[:] = jnp.where(upd, tid, tile_run[:])
+        return carry
+
+    jax.lax.fori_loop(0, na_ref[b, 0], body, 0)
+
+    t_min = jnp.min(t_run[:], axis=1)
+    t_ref[:, :] = t_min.reshape(BLK_R // TILE_T, TILE_T)
+    if track_idx:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BLK_R, TILE_T), 1)
+        win = t_run[:] == t_min[:, None]
+        idx = jnp.max(
+            jnp.where(win, tile_run[:] * TILE_T + lane, -1), axis=1
+        )
+        idx_ref[:, :] = jnp.maximum(idx, 0).reshape(BLK_R // TILE_T, TILE_T)
+
+
+def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int):
+    """Vectorized (XLA) per-block tile culling.
+
+    Per-ray slab tests against every tile AABB (branchless
+    BoundingBox::intersect, global_launcher.cu:172-183, plus an exit>=0
+    behind-the-ray cull — conservative), reduced to a per-(block, tile)
+    any-mask, then compacted to front-packed active-tile id lists.
+    Returns (ids (n_blocks, n_tiles) i32, n_active (n_blocks, 1) i32).
+    """
+    rcp = jnp.stack([1.0 / u.x, 1.0 / u.y, 1.0 / u.z], -1)   # (R, 3)
+    O3 = jnp.stack([O.x, O.y, O.z], -1)                      # (R, 3)
+    mn = aabb[:n_tiles, 0:3]                                 # (nt, 3)
+    mx = aabb[:n_tiles, 3:6]
+    t0 = (mn[None] - O3[:, None, :]) * rcp[:, None, :]       # (R, nt, 3)
+    t1 = (mx[None] - O3[:, None, :]) * rcp[:, None, :]
+    lo = jnp.minimum(t0, t1).max(-1)                         # enter (R, nt)
+    hi = jnp.maximum(t0, t1).min(-1)                         # exit
+    hit = (hi > lo) & (hi >= 0.0)                            # (R, nt)
+    blk = hit.reshape(-1, BLK_R, n_tiles).any(axis=1)        # (n_blocks, nt)
+    order = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int32)
+    n_active = blk.sum(axis=1, dtype=jnp.int32)[:, None]
+    return order, n_active
+
+
+@functools.partial(jax.jit, static_argnames=("eps_leaf", "interpret"))
+def _closest_hit_call(rf, fields, ids, n_active, eps_leaf, interpret):
+    R = rf.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ids, n_active (whole arrays, SMEM)
+        grid=(R // BLK_R,),
+        in_specs=[
+            pl.BlockSpec((BLK_R, NUM_FIELDS), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_FIELDS, fields.shape[1]), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLK_R // TILE_T, TILE_T), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_R // TILE_T, TILE_T), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLK_R, TILE_T), jnp.float32),
+            pltpu.VMEM((BLK_R, TILE_T), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_closest_hit_kernel, eps_leaf, True)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((R // TILE_T, TILE_T), jnp.float32),
+            jax.ShapeDtypeStruct((R // TILE_T, TILE_T), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ids, n_active, rf, fields)
+    return t.reshape(-1), idx.reshape(-1)
+
+
+def intersect_tris_pallas(
+    O: Vec3,
+    u: Vec3,
+    tab: PallasMeshTables,
+    eps_leaf: float,
+    interpret: bool = False,
+) -> TriHit:
+    """Closest hit over the tiled mesh; returns TriHit compatible with the
+    dense path (beta/gamma filled with zeros — recover via
+    ``recompute_barycentrics`` when smooth shading needs them)."""
+    R = O.x.shape[0]
+    pad = (-R) % BLK_R
+    if pad:
+        O = Vec3(*(jnp.pad(c, (0, pad)) for c in O))
+        u = Vec3(*(jnp.pad(c, (0, pad), constant_values=1.0) for c in u))
+    rf = _ray_features16(O, u)
+    # Derive the tile count from the (static) table shape — tab.n_tiles is a
+    # pytree leaf and would be a tracer under jit.
+    n_tiles = tab.fields.shape[1] // TILE_T
+    ids, n_active = _block_active_tiles(O, u, tab.tile_aabb, n_tiles)
+    t, idx = _closest_hit_call(
+        rf, tab.fields, ids, n_active, float(eps_leaf), interpret
+    )
+    if pad:
+        t, idx = t[:R], idx[:R]
+    z = jnp.zeros_like(t)
+    return TriHit(t=t, idx=idx, beta=z, gamma=z)
+
+
+def recompute_barycentrics(O: Vec3, u: Vec3, tab: PallasMeshTables, hit: TriHit):
+    """(beta, gamma) of the winning triangle only — one gathered MT per ray
+    (used by the realtime smooth-normal path, realtime_render.cu:221-245)."""
+    g = lambda k: tab.fields[k, hit.idx]
+    w = O.cross(u)
+    denom = u.x * g(0) + u.y * g(1) + u.z * g(2)
+    bnum = (u.x * g(3) + u.y * g(4) + u.z * g(5)) - (
+        w.x * g(6) + w.y * g(7) + w.z * g(8)
+    )
+    gnum = (w.x * g(12) + w.y * g(13) + w.z * g(14)) - (
+        u.x * g(9) + u.y * g(10) + u.z * g(11)
+    )
+    rden = 1.0 / denom
+    return bnum * rden, gnum * rden

@@ -51,11 +51,11 @@ def _sharded_render_fn(cfg: RenderConfig, mesh: Mesh):
         ip = jax.lax.axis_index("px")
         isp = jax.lax.axis_index("sp")
         rows = ip * rows_per + jnp.arange(rows_per, dtype=jnp.int32)
-        sample_ids = isp * spp_per + jnp.arange(spp_per)
+        sample_ids = isp * spp_per + jnp.arange(spp_per)  # traced via axis_index
         acc, stats = render_rows(scene, cfg, cam, key, rows, sample_ids)
         acc = jax.tree.map(lambda a: jax.lax.psum(a, "sp"), acc)
         stats = jax.tree.map(lambda s: jax.lax.psum(s, ("px", "sp")), stats)
-        col = acc / jnp.float32(spp)
+        col = acc / np.float32(spp)
         img = jnp.stack([c.reshape(rows_per, cfg.width) for c in col], axis=-1)
         return img, stats
 

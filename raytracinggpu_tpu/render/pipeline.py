@@ -82,12 +82,12 @@ def pixel_centers(cfg: RenderConfig, rows=None):
     defaults to all H rows.
     """
     W, H = cfg.width, cfg.height
-    x = jnp.arange(W, dtype=jnp.float32)
-    y = jnp.arange(H, dtype=jnp.float32) if rows is None else rows.astype(jnp.float32)
+    x = np.arange(W, dtype=np.float32)
+    y = np.arange(H, dtype=np.float32) if rows is None else rows.astype(jnp.float32)
     nr = y.shape[0]
     ux = jnp.broadcast_to((x - W / 2.0 + 0.5)[None, :], (nr, W)).reshape(-1)
     uy = jnp.broadcast_to((H / 2.0 - y - 0.5)[:, None], (nr, W)).reshape(-1)
-    z = jnp.float32(-W / (2.0 * np.tan(cfg.fov / 2.0)))
+    z = np.float32(-W / (2.0 * np.tan(cfg.fov / 2.0)))
     return ux, uy, z
 
 
@@ -134,7 +134,7 @@ def raygen(cfg: RenderConfig, cam: Camera, gx, gy, rows=None) -> tuple[Vec3, Vec
         )
         d = Vec3(d.x + gx, d.y + gy, d.z)
     else:
-        d = Vec3(ux + gx, uy + gy, jnp.full((R,), z))
+        d = Vec3(ux + gx, uy + gy, jnp.full_like(gx, z))
     u = d.normalized()
     O = Vec3(
         jnp.broadcast_to(cam.C.x, (R,)),
@@ -150,7 +150,7 @@ def _pad_chunks(arr, chunk):
     R = arr.shape[0]
     pad = (-R) % chunk
     if pad:
-        arr = jnp.concatenate([arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+        arr = jnp.pad(arr, [(0, pad)] + [(0, 0)] * (arr.ndim - 1))
     return arr.reshape(-1, chunk, *arr.shape[1:])
 
 
@@ -196,7 +196,7 @@ def render_rows(
         acc, stats_acc = carry
         key_s = jax.random.fold_in(key, s)
         un = row_uniforms(key_s, rows, W, D)       # (D+1, 2, R)
-        gx, gy = box_muller_jitter(un[0, 0], un[0, 1], jnp.float32(cfg.sigma))
+        gx, gy = box_muller_jitter(un[0, 0], un[0, 1], np.float32(cfg.sigma))
         O, u = raygen(cfg, cam, gx, gy, rows)
         col, stats = trace_chunked(scene, cfg, O, u, un[1:])
         acc = acc + col
@@ -205,7 +205,7 @@ def render_rows(
 
     from raytracinggpu_tpu.integrator.wavefront import TraceStats
 
-    stats0 = TraceStats(*(jnp.zeros((D,), jnp.int32) for _ in range(6)))
+    stats0 = TraceStats(*(jnp.zeros((D,), jnp.int32) for _ in range(6)))  # small; lowered host-side via XLA zeros
     (acc, stats), _ = jax.lax.scan(
         sample_body, (Vec3.zeros((R,)), stats0), sample_ids
     )
@@ -220,9 +220,9 @@ def render_frame(scene: SceneTables, cfg: RenderConfig, cam: Camera, key):
     per sample, Box-Muller jitter then a full trace; colors averaged.
     """
     W, H, spp = cfg.width, cfg.height, cfg.spp
-    rows = jnp.arange(H, dtype=jnp.int32)
-    acc, stats = render_rows(scene, cfg, cam, key, rows, jnp.arange(spp))
-    col = acc / jnp.float32(spp)
+    rows = np.arange(H, dtype=np.int32)
+    acc, stats = render_rows(scene, cfg, cam, key, rows, np.arange(spp))
+    col = acc / np.float32(spp)
     img = jnp.stack([c.reshape(H, W) for c in col], axis=-1)
     return img, stats
 

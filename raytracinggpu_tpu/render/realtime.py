@@ -1,0 +1,204 @@
+"""Progressive / realtime rendering loop.
+
+GL-free TPU re-design of the reference's interactive renderer
+(realtime_render.cu:1244-1298): the CUDA-OpenGL interop pipeline (VBO map ->
+kernel -> glDrawArrays) becomes a jitted, donated ``step`` on a render-state
+pytree; frames stream to the host as uint8 RGB (PNG sequence / raw pipe)
+instead of GL points.
+
+Reproduced semantics:
+- progressive accumulation ``accum += frame; display = accum / frames``
+  (realtime_render.cu:1136-1139) with gamma pack (realtime_render.cu:1146),
+- per-frame RNG decorrelation — WangHash(framenumber) + threadId seeding
+  (realtime_render.cu:1105-1106, 1188-1195) becomes ``fold_in(key, frame)``,
+- the circulating point light of the README demo: MoveLightSource orbits L
+  around the Y axis through the origin (realtime_render.cu:1072-1090 —
+  defined but never wired into disp(); here it IS the frame loop's default
+  animation, per BASELINE.json config 5),
+- interactive camera: yaw/pitch +-0.02 on arrows, +-2 translation on
+  a/d/r/f/w/s (realtime_render.cu:1214-1240), with any input resetting the
+  accumulation buffer (realtime_render.cu:1246-1251),
+- fixed spp=20, max_depth=3 per frame (realtime_render.cu:1264-1265).
+
+The state pytree is serializable (utils/checkpoint.py), which gives the
+resume capability the reference lacks (SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinggpu_tpu.core.vec import Vec3
+from raytracinggpu_tpu.render.pipeline import Camera, render_rows
+from raytracinggpu_tpu.scene.scene import RenderConfig, SceneTables
+
+YAW_PITCH_STEP = 0.02   # realtime_render.cu:1216-1223
+MOVE_STEP = 2.0         # realtime_render.cu:1229-1238
+
+
+class RenderState(NamedTuple):
+    """Everything the progressive loop carries between frames."""
+
+    accum: jnp.ndarray       # (H, W, 3) radiance sum
+    frames: jnp.ndarray      # () int32, number of accumulated frames
+    light_angle: jnp.ndarray # () f32, current orbit angle of L
+    cam_c: Vec3              # camera position (scalars)
+    yaw: jnp.ndarray         # () f32
+    pitch: jnp.ndarray       # () f32
+    key: jax.Array           # base PRNG key
+
+
+def init_state(cfg: RenderConfig, scene: SceneTables, seed: int = 0) -> RenderState:
+    """Initial state matching the reference's start: camera at (0,0,55),
+    yaw=0, pitch=0.3 (realtime_render.cu:807-811); the light starts at its
+    preset position, converted to (radius, angle) orbit coordinates."""
+    lx = float(np.asarray(scene.L.x))
+    lz = float(np.asarray(scene.L.z))
+    angle = float(np.arctan2(lz, lx))
+    return RenderState(
+        accum=jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+        frames=jnp.int32(0),
+        light_angle=jnp.float32(angle),
+        cam_c=Vec3.const(0.0, 0.0, 55.0),
+        yaw=jnp.float32(0.0),
+        pitch=jnp.float32(0.3),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def orbit_light(scene: SceneTables, angle) -> SceneTables:
+    """Light position on its Y-axis orbit (MoveLightSource,
+    realtime_render.cu:1072-1090): radius preserved in the xz plane,
+    height (L.y) unchanged."""
+    r = jnp.sqrt(scene.L.x * scene.L.x + scene.L.z * scene.L.z)
+    L = Vec3(r * jnp.cos(angle), scene.L.y, r * jnp.sin(angle))
+    return scene._replace(L=L)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
+def step(
+    scene: SceneTables,
+    cfg: RenderConfig,
+    state: RenderState,
+    angular_speed=np.float32(1.0),
+    dt=np.float32(2e-2),
+):
+    """One progressive frame: orbit the light, render spp samples, accumulate,
+    and emit the gamma-packed display image (uint8).
+
+    Returns (new_state, display_u8 (H, W, 3)).
+    """
+    angle = state.light_angle + angular_speed * dt
+    scene_t = orbit_light(scene, angle)
+    cam = Camera.from_yaw_pitch(state.cam_c, state.yaw, state.pitch)
+
+    frame_key = jax.random.fold_in(state.key, state.frames)
+    rows = np.arange(cfg.height, dtype=np.int32)
+    acc, _stats = render_rows(
+        scene_t, cfg, cam, frame_key, rows, np.arange(cfg.spp)
+    )
+    col = acc / np.float32(cfg.spp)
+    frame = jnp.stack(
+        [c.reshape(cfg.height, cfg.width) for c in col], axis=-1
+    )
+
+    accum = state.accum + frame
+    frames = state.frames + 1
+    display = jnp.minimum(
+        jnp.power(jnp.maximum(accum / frames.astype(jnp.float32), 0.0), 1.0 / 2.2),
+        255.0,
+    ).astype(jnp.uint8)
+
+    new_state = state._replace(accum=accum, frames=frames, light_angle=angle)
+    return new_state, display
+
+
+def reset_accumulation(state: RenderState) -> RenderState:
+    """buffer_reset semantics (realtime_render.cu:1246-1251): any camera
+    input clears the accumulator and restarts frame counting."""
+    return state._replace(
+        accum=jnp.zeros_like(state.accum), frames=jnp.int32(0)
+    )
+
+
+# ---- interactive camera controls (GLUT key bindings, realtime_render.cu:1214-1240)
+def on_key(state: RenderState, keyname: str) -> RenderState:
+    """Apply one key event; unknown keys are ignored.  Arrow keys change
+    yaw/pitch by 0.02; a/d = x -/+, r/f = y +/-, w/s = z -/+ by 2.  Every
+    recognized key resets the accumulation buffer."""
+    c = state.cam_c
+    upd = {}
+    if keyname == "left":
+        upd["yaw"] = state.yaw - YAW_PITCH_STEP
+    elif keyname == "right":
+        upd["yaw"] = state.yaw + YAW_PITCH_STEP
+    elif keyname == "up":
+        upd["pitch"] = state.pitch + YAW_PITCH_STEP
+    elif keyname == "down":
+        upd["pitch"] = state.pitch - YAW_PITCH_STEP
+    elif keyname == "a":
+        upd["cam_c"] = Vec3(c.x - MOVE_STEP, c.y, c.z)
+    elif keyname == "d":
+        upd["cam_c"] = Vec3(c.x + MOVE_STEP, c.y, c.z)
+    elif keyname == "r":
+        upd["cam_c"] = Vec3(c.x, c.y + MOVE_STEP, c.z)
+    elif keyname == "f":
+        upd["cam_c"] = Vec3(c.x, c.y - MOVE_STEP, c.z)
+    elif keyname == "w":
+        upd["cam_c"] = Vec3(c.x, c.y, c.z - MOVE_STEP)
+    elif keyname == "s":
+        upd["cam_c"] = Vec3(c.x, c.y, c.z + MOVE_STEP)
+    else:
+        return state
+    return reset_accumulation(state._replace(**upd))
+
+
+def run_loop(
+    scene: SceneTables,
+    cfg: RenderConfig,
+    n_frames: int,
+    seed: int = 0,
+    out_dir: str | None = None,
+    raw_pipe=None,
+    print_every: int = 5,
+    angular_speed: float = 1.0,
+):
+    """Host frame pump (the TPU analog of glutMainLoop + disp,
+    realtime_render.cu:1244-1298): steps the jitted renderer, streams frames,
+    and prints the per-frame time every ``print_every`` frames like the
+    reference (realtime_render.cu:1280-1282).
+
+    Returns (final_state, fps_summary dict).
+    """
+    import os
+    import time
+
+    from raytracinggpu_tpu.render.image_io import write_png
+
+    state = init_state(cfg, scene, seed)
+    times = []
+    speed = np.float32(angular_speed)
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        state, display = step(scene, cfg, state, speed)
+        display.block_until_ready()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        if out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            write_png(os.path.join(out_dir, f"frame_{i:05d}.png"), np.asarray(display))
+        if raw_pipe is not None:
+            raw_pipe.write(np.asarray(display).tobytes())
+        if print_every and (i + 1) % print_every == 0:
+            print(f"frame {i+1}: {dt*1000:.1f} ms ({1.0/dt:.1f} FPS)")
+    steady = times[1:] or times
+    return state, {
+        "frames": n_frames,
+        "mean_ms": float(np.mean(steady) * 1e3),
+        "fps": float(1.0 / np.mean(steady)),
+        "first_frame_ms": float(times[0] * 1e3),
+    }

@@ -67,6 +67,7 @@ class SceneTables(NamedTuple):
     mesh: TriTables | None
     bvh: BVHTables | None
     clusters: ClusterTables | None
+    pallas_mesh: Any  # PallasMeshTables | None (fused-kernel tables)
     L: Vec3          # point light position (scalars)
     intensity: Any   # light intensity (scalar)
 
@@ -138,11 +139,15 @@ def build_scene_tables(
     mesh_tables = None
     bvh_tables = None
     cl_tables = None
+    pallas_tables = None
     if mesh is not None:
         pad_to = _round_up(mesh.n_tri, tri_block)
         mesh_tables = build_tri_tables(
             mesh.A, mesh.B, mesh.C, mesh.na, mesh.nb, mesh.nc, pad_to=pad_to
         )
+        from raytracinggpu_tpu.ops.pallas_trace import build_pallas_tables
+
+        pallas_tables = build_pallas_tables(mesh.A, mesh.B, mesh.C, pad_to=pad_to)
         b = mesh.bvh
         bvh_tables = BVHTables(
             left=jnp.asarray(b.left),
@@ -155,7 +160,7 @@ def build_scene_tables(
         )
         cl_tables = _build_cluster_tables(mesh)
 
-    return SceneTables(
+    tables = SceneTables(
         spheres=SphereTable.from_list(spheres),
         materials=Materials(
             albedo=Vec3(alb[:, 0], alb[:, 1], alb[:, 2]),
@@ -166,9 +171,14 @@ def build_scene_tables(
         mesh=mesh_tables,
         bvh=bvh_tables,
         clusters=cl_tables,
+        pallas_mesh=pallas_tables,
         L=Vec3.const(*np.asarray(L, np.float32)),
         intensity=jnp.float32(intensity),
     )
+    # Commit every leaf to device once at build: numpy leaves in a jit
+    # argument would otherwise be re-uploaded host->device on EVERY call
+    # (tens of ms per frame through a remote-TPU tunnel).
+    return jax.device_put(tables)
 
 
 def _build_cluster_tables(mesh: MeshData) -> ClusterTables:

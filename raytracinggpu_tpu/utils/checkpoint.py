@@ -1,0 +1,45 @@
+"""Render-state checkpoint / resume.
+
+The reference has no checkpointing; its closest analog is the realtime
+accumulation buffer that is lost on exit and reset on input
+(realtime_render.cu:1136-1139, 1246-1251; SURVEY.md §5).  Because the TPU
+renderer's whole progressive state is one pytree (RenderState), serializing
+it gives exact resume: a restored loop continues producing bit-identical
+frames (same fold_in(key, frames) sequence).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinggpu_tpu.core.vec import Vec3
+from raytracinggpu_tpu.render.realtime import RenderState
+
+
+def save_state(path: str, state: RenderState) -> None:
+    leaves, treedef = jax.tree.flatten(state)
+    np.savez(
+        path,
+        *[np.asarray(l) for l in leaves],
+        treedef=str(treedef),
+        n_leaves=len(leaves),
+    )
+
+
+def load_state(path: str) -> RenderState:
+    data = np.load(path, allow_pickle=False)
+    n = int(data["n_leaves"])
+    leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(n)]
+    # RenderState structure: accum, frames, light_angle, cam_c(Vec3=3), yaw,
+    # pitch, key — rebuild by unflattening against a template treedef.
+    template = RenderState(
+        accum=leaves[0],
+        frames=leaves[1],
+        light_angle=leaves[2],
+        cam_c=Vec3(leaves[3], leaves[4], leaves[5]),
+        yaw=leaves[6],
+        pitch=leaves[7],
+        key=leaves[8],
+    )
+    return template
