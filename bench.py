@@ -20,11 +20,25 @@ NORTH_STAR_MRAYS = 200.0
 def main() -> None:
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Warm the device-to-host tunnel concurrently with compilation (the
+    # first D2H on this runtime takes minutes; see SKILL notes).
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    threading.Thread(
+        target=lambda: np.asarray(jnp.zeros((2,))), daemon=True
+    ).start()
+
     from raytracinggpu_tpu.render.pipeline import Camera, render_frame, rays_per_frame
     from raytracinggpu_tpu.scene.presets import build_preset
 
     cfg, tables = build_preset(
-        "array_bvh", width=512, height=512, spp=32, max_depth=5
+        "array_bvh", width=512, height=512, spp=32, max_depth=5,
+        traversal="pallas",
     )
     cam = Camera.fixed(cfg.camera_c)
     key = jax.random.PRNGKey(0)

@@ -79,13 +79,31 @@ class FlatBVH:
         return out.reshape(-1)
 
 
-def build_bvh(A: np.ndarray, B: np.ndarray, C: np.ndarray) -> FlatBVH:
+def build_bvh(
+    A: np.ndarray, B: np.ndarray, C: np.ndarray, native: bool | None = None
+) -> FlatBVH:
     """Build from triangle vertex arrays (T, 3); returns the flat preorder BVH.
 
     The recursion and the swap-based partition replicate the reference
     exactly (including its non-stable partition order), so the resulting
     triangle ordering and tree shape match what the CUDA code would build.
+
+    native: use the C++ builder (identical algorithm/fp semantics; tested
+    bit-equal) when available.
     """
+    if native is not False:
+        from raytracinggpu_tpu import native as native_mod
+
+        built = native_mod.build_bvh(A, B, C)
+        if built is not None:
+            left, right, start, end, skip, mn, mx, order = built
+            return FlatBVH(
+                left=left, right=right, mn=mn, mx=mx,
+                tri_start=start, tri_end=end, order=order.astype(np.int64),
+                skip=skip,
+            )
+        if native is True:
+            raise RuntimeError("native library requested but unavailable")
     A = np.asarray(A, np.float32)
     B = np.asarray(B, np.float32)
     C = np.asarray(C, np.float32)

@@ -81,7 +81,8 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
 
             interpret = jax.devices()[0].platform != "tpu"
             mh = intersect_tris_pallas(
-                O, u, scene.pallas_mesh, cfg.eps_leaf, interpret=interpret
+                O, u, scene.pallas_mesh, cfg.eps_leaf, interpret=interpret,
+                sort_rays=cfg.ray_sort,
             )
             if cfg.smooth_normals:
                 beta, gamma = recompute_barycentrics(O, u, scene.pallas_mesh, mh)
@@ -118,6 +119,25 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
     t_safe = jnp.where(hit, t, 0.0)  # avoid inf*0 NaN on miss lanes
     P = O + u * t_safe
     return Hit(t=t, obj=obj, N=N, P=P)
+
+
+def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, Lv: Vec3):
+    """Nearest-hit distance for the shadow ray (occlusion only needs t to
+    compare against |L - P_adj|^2, global_launcher.cu:795-799).  The pallas
+    mode uses the cheaper any-hit kernel with a per-ray distance cap; other
+    modes reuse the full closest-hit."""
+    if scene.mesh is not None and cfg.traversal == "pallas":
+        from raytracinggpu_tpu.ops.pallas_trace import intersect_tris_shadow
+
+        interpret = jax.devices()[0].platform != "tpu"
+        t_sph, _, _ = intersect_spheres(O, u, scene.spheres)
+        t_mesh = intersect_tris_shadow(
+            O, u, scene.pallas_mesh, cfg.eps_leaf,
+            cap=Lv.norm(), interpret=interpret, sort_rays=cfg.ray_sort,
+        )
+        return jnp.minimum(t_sph, t_mesh)
+    sh = intersect_all(scene, cfg, O, u)
+    return jnp.where(sh.obj >= 0, sh.t, INF)
 
 
 class TraceStats(NamedTuple):
@@ -193,8 +213,7 @@ def trace(
         P_adj = P + N * eps
         Lv = scene.L - P_adj
         shadow_dir = Lv.normalized()
-        sh = intersect_all(scene, cfg, P_adj, shadow_dir)
-        t_sh = jnp.where(sh.obj >= 0, sh.t, INF)
+        t_sh = occlusion_distance(scene, cfg, P_adj, shadow_dir, Lv)
         occluded = t_sh * t_sh <= Lv.norm2()
 
         LP = scene.L - P

@@ -109,6 +109,42 @@ def build_pallas_tables(A, B, C, pad_to: int | None = None) -> PallasMeshTables:
     )
 
 
+def ray_sort_key(O: Vec3, u: Vec3) -> jnp.ndarray:
+    """Coherence key for wavefront ray sorting: direction octant (3 bits) x
+    quantized origin cell (4x4x4 over the scene-scale box [-64, 64]^3).
+
+    Bounce and shadow rays arrive pixel-ordered but point anywhere; a block
+    of 1024 such rays activates most tiles and the block-level culling
+    degenerates to brute force.  Grouping rays into beam families first is
+    the TPU analog of the reference's warp-coherence concern — the
+    'ray compaction/sorting to tame branch divergence' the north star
+    requires (BASELINE.json).
+    """
+    octant = (
+        (u.x < 0).astype(jnp.int32) * 4
+        + (u.y < 0).astype(jnp.int32) * 2
+        + (u.z < 0).astype(jnp.int32)
+    )
+    q = lambda c: jnp.clip(((c + 64.0) * (4.0 / 128.0)).astype(jnp.int32), 0, 3)
+    cell = (q(O.x) * 4 + q(O.y)) * 4 + q(O.z)
+    return cell * 8 + octant
+
+
+def _sort_rays(O: Vec3, u: Vec3, extra=()):
+    """Returns (perm, O_sorted, u_sorted, extras_sorted)."""
+    perm = jnp.argsort(ray_sort_key(O, u)).astype(jnp.int32)
+    Os = Vec3(O.x[perm], O.y[perm], O.z[perm])
+    us = Vec3(u.x[perm], u.y[perm], u.z[perm])
+    return perm, Os, us, tuple(e[perm] for e in extra)
+
+
+def _unsort(perm, *arrays):
+    """Scatter sorted-order results back to original ray order."""
+    return tuple(
+        jnp.zeros_like(a).at[perm].set(a) for a in arrays
+    )
+
+
 def _ray_features16(O: Vec3, u: Vec3) -> jnp.ndarray:
     """(R, 16): [u(3), w=O x u(3), O(3), 1/u(3), 0(4)]."""
     w = O.cross(u)
@@ -195,25 +231,138 @@ def _closest_hit_kernel(eps_leaf, track_idx,
         idx_ref[:, :] = jnp.maximum(idx, 0).reshape(BLK_R // TILE_T, TILE_T)
 
 
-def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int):
+def _shadow_kernel(eps_leaf, ids_ref, na_ref, rf_ref, tri_ref, t_ref, t_run):
+    """Any-hit (occlusion) variant: same Moller-Trumbore tile loop but no
+    winner tracking — the shadow test only needs the nearest distance to
+    compare against |L - P|^2 (global_launcher.cu:795-799), so the running
+    min is a single fused minimum and the argmin epilogue disappears.
+    Shadow rays are ~half of all casts (one per diffuse depth)."""
+    b = pl.program_id(0)
+    col = lambda k: rf_ref[:, k:k + 1]
+    ux, uy, uz = col(0), col(1), col(2)
+    wx, wy, wz = col(3), col(4), col(5)
+    Ox, Oy, Oz = col(6), col(7), col(8)
+
+    t_run[:] = jnp.full((BLK_R, TILE_T), INF, jnp.float32)
+
+    def body(i, carry):
+        tid = ids_ref[b, i]
+        off = pl.multiple_of(tid * TILE_T, TILE_T)
+        sl = pl.ds(off, TILE_T)
+        row = lambda k: tri_ref[k:k + 1, sl]
+        denom = ux * row(0) + uy * row(1) + uz * row(2)
+        bnum = (ux * row(3) + uy * row(4) + uz * row(5)) - (
+            wx * row(6) + wy * row(7) + wz * row(8)
+        )
+        gnum = (wx * row(12) + wy * row(13) + wz * row(14)) - (
+            ux * row(9) + uy * row(10) + uz * row(11)
+        )
+        tnum = row(15) - (Ox * row(0) + Oy * row(1) + Oz * row(2))
+        rden = 1.0 / denom
+        beta = bnum * rden
+        gamma = gnum * rden
+        tval = tnum * rden
+        bary_ok = jnp.minimum(
+            jnp.minimum(beta, gamma), 1.0 - beta - gamma
+        ) >= 0.0
+        valid = bary_ok & (tval > max(float(eps_leaf), 0.0))
+        t_run[:] = jnp.minimum(t_run[:], jnp.where(valid, tval, INF))
+        return carry
+
+    jax.lax.fori_loop(0, na_ref[b, 0], body, 0)
+    t_ref[:, :] = jnp.min(t_run[:], axis=1).reshape(BLK_R // TILE_T, TILE_T)
+
+
+@functools.partial(jax.jit, static_argnames=("eps_leaf", "interpret"))
+def _shadow_call(rf, fields, ids, n_active, eps_leaf, interpret):
+    R = rf.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(R // BLK_R,),
+        in_specs=[
+            pl.BlockSpec((BLK_R, NUM_FIELDS), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_FIELDS, fields.shape[1]), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLK_R // TILE_T, TILE_T), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BLK_R, TILE_T), jnp.float32)],
+    )
+    kernel = functools.partial(_shadow_kernel, eps_leaf)
+    t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R // TILE_T, TILE_T), jnp.float32),
+        interpret=interpret,
+    )(ids, n_active, rf, fields)
+    return t.reshape(-1)
+
+
+def intersect_tris_shadow(
+    O: Vec3,
+    u: Vec3,
+    tab: PallasMeshTables,
+    eps_leaf: float,
+    cap=None,
+    interpret: bool = False,
+    sort_rays: bool = True,
+):
+    """Nearest mesh hit distance only (shadow/occlusion query).  ``cap``
+    (per-ray max useful distance, |L - P_adj|) culls tiles entirely beyond
+    the light."""
+    R = O.x.shape[0]
+    pad = (-R) % BLK_R
+    if pad:
+        O = Vec3(*(jnp.pad(c, (0, pad)) for c in O))
+        u = Vec3(*(jnp.pad(c, (0, pad), constant_values=1.0) for c in u))
+        if cap is not None:
+            cap = jnp.pad(cap, (0, pad))
+    perm = None
+    if sort_rays:
+        extra = (cap,) if cap is not None else ()
+        perm, O, u, extra = _sort_rays(O, u, extra)
+        if cap is not None:
+            cap = extra[0]
+    rf = _ray_features16(O, u)
+    n_tiles = tab.fields.shape[1] // TILE_T
+    ids, n_active = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap)
+    t = _shadow_call(rf, tab.fields, ids, n_active, float(eps_leaf), interpret)
+    if perm is not None:
+        (t,) = _unsort(perm, t)
+    return t[:R] if pad else t
+
+
+def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
     """Vectorized (XLA) per-block tile culling.
 
     Per-ray slab tests against every tile AABB (branchless
     BoundingBox::intersect, global_launcher.cu:172-183, plus an exit>=0
     behind-the-ray cull — conservative), reduced to a per-(block, tile)
     any-mask, then compacted to front-packed active-tile id lists.
+
+    The tests run in (n_tiles, R) layout — the ray axis must be the lane
+    (minor) dimension; an (R, nt, 3) layout pads the minor dim 3 -> 128 and
+    wastes 42/43 lanes.
+
+    cap: optional per-ray max distance (shadow rays: |L - P|); tiles whose
+    entry is beyond the cap cannot occlude and are culled.
+
     Returns (ids (n_blocks, n_tiles) i32, n_active (n_blocks, 1) i32).
     """
-    rcp = jnp.stack([1.0 / u.x, 1.0 / u.y, 1.0 / u.z], -1)   # (R, 3)
-    O3 = jnp.stack([O.x, O.y, O.z], -1)                      # (R, 3)
-    mn = aabb[:n_tiles, 0:3]                                 # (nt, 3)
-    mx = aabb[:n_tiles, 3:6]
-    t0 = (mn[None] - O3[:, None, :]) * rcp[:, None, :]       # (R, nt, 3)
-    t1 = (mx[None] - O3[:, None, :]) * rcp[:, None, :]
-    lo = jnp.minimum(t0, t1).max(-1)                         # enter (R, nt)
-    hi = jnp.maximum(t0, t1).min(-1)                         # exit
-    hit = (hi > lo) & (hi >= 0.0)                            # (R, nt)
-    blk = hit.reshape(-1, BLK_R, n_tiles).any(axis=1)        # (n_blocks, nt)
+    big = np.float32(3.4e38)
+    enter = jnp.full((n_tiles, O.x.shape[0]), -big)
+    exit_ = jnp.full((n_tiles, O.x.shape[0]), big)
+    for ax, (Oc, uc) in enumerate(((O.x, u.x), (O.y, u.y), (O.z, u.z))):
+        rc = 1.0 / uc
+        t0 = (aabb[:n_tiles, ax, None] - Oc[None, :]) * rc[None, :]
+        t1 = (aabb[:n_tiles, 3 + ax, None] - Oc[None, :]) * rc[None, :]
+        enter = jnp.maximum(enter, jnp.minimum(t0, t1))
+        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+    hit = (exit_ > enter) & (exit_ >= 0.0)                   # (nt, R)
+    if cap is not None:
+        hit = hit & (enter <= cap[None, :])
+    blk = hit.reshape(n_tiles, -1, BLK_R).any(axis=2).T      # (n_blocks, nt)
     order = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int32)
     n_active = blk.sum(axis=1, dtype=jnp.int32)[:, None]
     return order, n_active
@@ -261,15 +410,23 @@ def intersect_tris_pallas(
     tab: PallasMeshTables,
     eps_leaf: float,
     interpret: bool = False,
+    sort_rays: bool = True,
 ) -> TriHit:
     """Closest hit over the tiled mesh; returns TriHit compatible with the
     dense path (beta/gamma filled with zeros — recover via
-    ``recompute_barycentrics`` when smooth shading needs them)."""
+    ``recompute_barycentrics`` when smooth shading needs them).
+
+    sort_rays: group rays into coherent beam families before the kernel and
+    scatter results back afterwards (see ray_sort_key) — the results are
+    identical, only the block composition changes."""
     R = O.x.shape[0]
     pad = (-R) % BLK_R
     if pad:
         O = Vec3(*(jnp.pad(c, (0, pad)) for c in O))
         u = Vec3(*(jnp.pad(c, (0, pad), constant_values=1.0) for c in u))
+    perm = None
+    if sort_rays:
+        perm, O, u, _ = _sort_rays(O, u)
     rf = _ray_features16(O, u)
     # Derive the tile count from the (static) table shape — tab.n_tiles is a
     # pytree leaf and would be a tracer under jit.
@@ -278,6 +435,8 @@ def intersect_tris_pallas(
     t, idx = _closest_hit_call(
         rf, tab.fields, ids, n_active, float(eps_leaf), interpret
     )
+    if perm is not None:
+        t, idx = _unsort(perm, t, idx)
     if pad:
         t, idx = t[:R], idx[:R]
     z = jnp.zeros_like(t)

@@ -38,11 +38,19 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 array as a PNG file."""
+def write_png(path: str, rgb: np.ndarray, native: bool | None = None) -> None:
+    """Write an (H, W, 3) uint8 array as a PNG file (native C++ encoder when
+    available, stdlib-zlib fallback)."""
     rgb = np.asarray(rgb, np.uint8)
     h, w, c = rgb.shape
     assert c == 3
+    if native is not False:
+        from raytracinggpu_tpu import native as native_mod
+
+        if native_mod.write_png(path, rgb):
+            return
+        if native is True:
+            raise RuntimeError("native library requested but unavailable")
     raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     png = (

@@ -155,9 +155,14 @@ def _pad_chunks(arr, chunk):
 
 
 def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, uniforms):
-    """Trace a full-frame ray batch in ray chunks of cfg.ray_chunk."""
+    """Trace a full-frame ray batch in ray chunks of cfg.ray_chunk.
+
+    The chunking exists to bound the dense matmul path's (chunk, 4, tri_block)
+    intermediates; the pallas path keeps everything in VMEM, so it runs the
+    whole batch in one chunk (fewer dispatches, better grid pipelining).
+    """
     R = u.x.shape[0]
-    chunk = min(cfg.ray_chunk, R)
+    chunk = R if cfg.traversal == "pallas" else min(cfg.ray_chunk, R)
     # uniforms (D, 2, R) -> (n_chunks, D, 2, chunk)
     un = jnp.moveaxis(uniforms, -1, 0)       # (R, D, 2)
     un = _pad_chunks(un, chunk)              # (nc, chunk, D, 2)

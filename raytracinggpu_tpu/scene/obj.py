@@ -56,13 +56,30 @@ def _parse_corner(tok: str, nv: int, nu: int, nn: int):
     return v, u, n
 
 
-def read_obj(path: str | os.PathLike, embed_transform: bool = False) -> ObjMesh:
+def read_obj(
+    path: str | os.PathLike, embed_transform: bool = False, native: bool | None = None
+) -> ObjMesh:
     """Parse an OBJ file.
 
     embed_transform: apply ``v*0.8 + (0,-10,0)`` to vertices at load, the
     transform the reference hardcodes inside readOBJ for the cpu/global/
     optimized launchers.
+    native: use the C++ parser (native/librt_native.so) when available
+    (default: auto).  The native parser does not track usemtl groups.
     """
+    if native is not False:
+        from raytracinggpu_tpu import native as native_mod
+
+        parsed = native_mod.parse_obj(str(path), embed_transform)
+        if parsed is not None:
+            vertices, normals, uvs, fv, fn, fu = parsed
+            return ObjMesh(
+                vertices=vertices, normals=normals, uvs=uvs,
+                vtx=fv, nrm=fn, uv=fu,
+                group=np.zeros(len(fv), np.int32),
+            )
+        if native is True:
+            raise RuntimeError("native library requested but unavailable")
     vertices: list[tuple] = []
     normals: list[tuple] = []
     uvs: list[tuple] = []

@@ -91,7 +91,13 @@ class RenderConfig:
     camera_point_quirk: bool = False  # realtime adds cam.C into the direction
     n_objects: int = 7
     mesh_object_id: int = 6     # -1 when the scene has no mesh
-    traversal: str = "dense"    # dense | cluster | bvh
+    traversal: str = "dense"    # dense | pallas | cluster | bvh
+    ray_sort: bool = False      # sort rays into beam families before the
+                                # pallas kernel (ablation mode; see
+                                # ops/pallas_trace.ray_sort_key — for the cat
+                                # scene mesh-local bounce rays legitimately
+                                # span many tiles, so sorting currently costs
+                                # more than it saves)
     ray_chunk: int = 65536      # rays per inner chunk (memory control)
     tri_block: int = 512        # triangle block for the dense scan
     mxu_precision: str = "highest"  # highest | default (bf16 fast path)
