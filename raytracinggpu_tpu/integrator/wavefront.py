@@ -91,12 +91,6 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             from raytracinggpu_tpu.ops.bvh_traverse import intersect_tris_bvh
 
             mh = intersect_tris_bvh(O, u, scene.mesh, scene.bvh, cfg.eps_leaf)
-        elif cfg.traversal == "cluster":
-            from raytracinggpu_tpu.ops.cluster import intersect_tris_cluster
-
-            mh = intersect_tris_cluster(
-                O, u, scene.mesh, scene.clusters, cfg.eps_leaf, cfg.precision
-            )
         else:
             raise ValueError(f"unknown traversal mode {cfg.traversal!r}")
 

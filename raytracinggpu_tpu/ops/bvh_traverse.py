@@ -1,0 +1,141 @@
+"""Stackless flat-BVH traversal (lockstep, gather-based).
+
+The literal TPU translation of the reference's flat-array traversal
+(optimized.cu:220-285: per-thread ``int s[30]`` stack over 10-float node
+records).  A per-lane stack is hostile to an 8x128 SIMD machine, so this
+uses the *preorder skip-link* form of the same flat tree
+(accel/bvh.py): every ray walks nodes in preorder; on an AABB reject it
+jumps to ``skip[node]`` (the preorder successor outside the subtree), on
+accept it advances to ``node+1`` (its first child, or the leaf test).
+All lanes advance in lockstep inside one ``lax.while_loop``; finished lanes
+idle at node == n_nodes.
+
+This mode exists for exact structural parity with the reference's
+acceleration structure and as the oracle for the tiled pallas kernel; the
+gathers (node fields by per-lane node id, triangles by leaf range) make it
+memory-bound on TPU, so the pallas tile kernel is the production path.
+Leaf triangle tests reuse the factorized Moller-Trumbore feature matrix
+(ops/triangle.py) gathered per lane, bounded by the build's leaf size
+(< 2*LEAF_MIN_TRIS triangles per leaf; reference guarantees < 5 only on
+the splittable side, so leaves can hold up to 2*5-1... the builder's
+actual bound is checked at table build time).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinggpu_tpu.core.vec import Vec3
+from raytracinggpu_tpu.ops.triangle import TriHit, TriTables, ray_features
+from raytracinggpu_tpu.scene.scene import BVHTables
+
+INF = 1e9 + 9
+# Static unroll bound for leaf tests.  The reference split stops when < 5
+# triangles remain OR the midpoint partition degenerates (optimized.cu:503)
+# — degenerate partitions can leave large leaves (the cat's worst leaf holds
+# 73 triangles), faithfully reproduced here.
+MAX_LEAF_TRIS = 80
+
+
+def intersect_tris_bvh(
+    O: Vec3,
+    u: Vec3,
+    tab: TriTables,
+    bvh: BVHTables,
+    eps_leaf: float,
+    max_leaf_tris: int = MAX_LEAF_TRIS,
+) -> TriHit:
+    """Closest hit via lockstep skip-link traversal.
+
+    Every iteration each live lane: gathers its node's AABB + topology,
+    slab-tests (reference semantics, global_launcher.cu:172-183 — no
+    behind-ray check, matching the GPU variants' unconditional pushes),
+    and either descends (node+1) or skips the subtree.  Leaf lanes test
+    up to MAX_LEAF_TRIS triangles via gathered MT features.
+    """
+    R = O.x.shape[0]
+    n_nodes = bvh.left.shape[0]
+    f = ray_features(O, u)  # (R, 10)
+    rcp = Vec3(1.0 / u.x, 1.0 / u.y, 1.0 / u.z)
+
+    mt = tab.mt  # (10, 4, Tp)
+
+    def leaf_test(node, t_best, i_best, b_best, g_best):
+        start = bvh.tri_start[node]
+        end = bvh.tri_end[node]
+        for k in range(max_leaf_tris):
+            ti = start + k
+            live = ti < end
+            ti = jnp.minimum(ti, mt.shape[-1] - 1)
+            cols = mt[:, :, ti]                      # (10, 4, R)
+            out = jnp.einsum("rk,kcr->cr", f, cols)  # (4, R)
+            denom, bn, gn, tn = out[0], out[1], out[2], out[3]
+            beta = bn / denom
+            gamma = gn / denom
+            tval = tn / denom
+            valid = (
+                live
+                & (denom != 0.0)
+                & (beta >= 0.0) & (beta <= 1.0)
+                & (gamma >= 0.0) & (gamma <= 1.0)
+                & (beta + gamma <= 1.0)
+                & (tval > 0.0) & (tval > eps_leaf)
+            )
+            better = valid & (tval < t_best)
+            t_best = jnp.where(better, tval, t_best)
+            i_best = jnp.where(better, ti.astype(jnp.int32), i_best)
+            b_best = jnp.where(better, beta, b_best)
+            g_best = jnp.where(better, gamma, g_best)
+        return t_best, i_best, b_best, g_best
+
+    def slab_hit(node):
+        mn = Vec3(bvh.mn.x[node], bvh.mn.y[node], bvh.mn.z[node])
+        mx = Vec3(bvh.mx.x[node], bvh.mx.y[node], bvh.mx.z[node])
+        t0 = Vec3((mn.x - O.x) * rcp.x, (mn.y - O.y) * rcp.y, (mn.z - O.z) * rcp.z)
+        t1 = Vec3((mx.x - O.x) * rcp.x, (mx.y - O.y) * rcp.y, (mx.z - O.z) * rcp.z)
+        enter = jnp.maximum(
+            jnp.minimum(t0.x, t1.x),
+            jnp.maximum(jnp.minimum(t0.y, t1.y), jnp.minimum(t0.z, t1.z)),
+        )
+        exit_ = jnp.minimum(
+            jnp.maximum(t0.x, t1.x),
+            jnp.minimum(jnp.maximum(t0.y, t1.y), jnp.maximum(t0.z, t1.z)),
+        )
+        # Reference slab test: min(t1s) > max(t0s) — no behind-ray culling
+        # (global_launcher.cu:182).
+        return exit_ > enter
+
+    def cond(state):
+        node, *_ = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, t_best, i_best, b_best, g_best = state
+        live = node < n_nodes
+        nd = jnp.minimum(node, n_nodes - 1)
+        hit = slab_hit(nd) & live
+        is_leaf = bvh.right[nd] == -1
+        do_leaf = hit & is_leaf
+        tb, ib, bb, gb = leaf_test(
+            jnp.where(do_leaf, nd, 0), t_best, i_best, b_best, g_best
+        )
+        # Lanes not at a live leaf keep their previous winners.
+        t_best = jnp.where(do_leaf, tb, t_best)
+        i_best = jnp.where(do_leaf, ib, i_best)
+        b_best = jnp.where(do_leaf, bb, b_best)
+        g_best = jnp.where(do_leaf, gb, g_best)
+        # Advance: descend into accepted internal nodes, otherwise skip.
+        nxt = jnp.where(hit & ~is_leaf, nd + 1, bvh.skip[nd])
+        node = jnp.where(live, nxt, node)
+        return node, t_best, i_best, b_best, g_best
+
+    init = (
+        jnp.zeros((R,), jnp.int32),
+        jnp.full((R,), INF, jnp.float32),
+        jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+    )
+    node, t, idx, beta, gamma = jax.lax.while_loop(cond, body, init)
+    return TriHit(t=t, idx=idx, beta=beta, gamma=gamma)

@@ -57,15 +57,26 @@ class MeshData:
 def build_mesh(
     obj: ObjMesh,
     cluster_max_tris: int = 64,
+    builder: str = "reference",
 ) -> MeshData:
     """Dereference indices, build the BVH over the triangle soup, and reorder
-    the per-triangle tables into BVH leaf order."""
+    the per-triangle tables into BVH leaf order.
+
+    builder: "reference" (midpoint-split, exact reference semantics) or
+    "lbvh" (Morton-code linear BVH, accel/lbvh.py) — both emit the same flat
+    layout, so every traversal mode works with either.
+    """
     V = obj.vertices
     A = V[obj.vtx[:, 0]]
     B = V[obj.vtx[:, 1]]
     C = V[obj.vtx[:, 2]]
 
-    bvh = build_bvh(A, B, C)
+    if builder == "lbvh":
+        from raytracinggpu_tpu.accel.lbvh import build_lbvh
+
+        bvh = build_lbvh(A, B, C)
+    else:
+        bvh = build_bvh(A, B, C)
     o = bvh.order
 
     has_n = obj.normals.shape[0] > 0 and (obj.nrm >= 0).all()

@@ -91,7 +91,7 @@ class RenderConfig:
     camera_point_quirk: bool = False  # realtime adds cam.C into the direction
     n_objects: int = 7
     mesh_object_id: int = 6     # -1 when the scene has no mesh
-    traversal: str = "dense"    # dense | pallas | cluster | bvh
+    traversal: str = "dense"    # dense | pallas | bvh (see ops/)
     ray_sort: bool = False      # sort rays into beam families before the
                                 # pallas kernel (ablation mode; see
                                 # ops/pallas_trace.ray_sort_key — for the cat
