@@ -80,9 +80,11 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             )
 
             interpret = jax.devices()[0].platform != "tpu"
+            # The nearest sphere hit caps useful mesh distances (the mesh
+            # loses the min-t merge beyond it) — tightens tile culling.
             mh = intersect_tris_pallas(
                 O, u, scene.pallas_mesh, cfg.eps_leaf, interpret=interpret,
-                sort_rays=cfg.ray_sort,
+                sort_rays=cfg.ray_sort, cap=t_s,
             )
             if cfg.smooth_normals:
                 beta, gamma = recompute_barycentrics(O, u, scene.pallas_mesh, mh)

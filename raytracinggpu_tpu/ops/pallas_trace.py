@@ -411,6 +411,7 @@ def intersect_tris_pallas(
     eps_leaf: float,
     interpret: bool = False,
     sort_rays: bool = True,
+    cap=None,
 ) -> TriHit:
     """Closest hit over the tiled mesh; returns TriHit compatible with the
     dense path (beta/gamma filled with zeros — recover via
@@ -418,20 +419,32 @@ def intersect_tris_pallas(
 
     sort_rays: group rays into coherent beam families before the kernel and
     scatter results back afterwards (see ray_sort_key) — the results are
-    identical, only the block composition changes."""
+    identical, only the block composition changes.
+
+    cap: optional per-ray upper bound on a *useful* hit distance (e.g. the
+    nearest sphere hit — the mesh cannot win the min-t merge beyond it,
+    Scene::intersect_all semantics global_launcher.cu:716-736); tiles whose
+    entry lies beyond the cap are culled.  Pure culling: results at or
+    below the cap are unchanged, farther mesh hits would lose the merge
+    anyway."""
     R = O.x.shape[0]
     pad = (-R) % BLK_R
     if pad:
         O = Vec3(*(jnp.pad(c, (0, pad)) for c in O))
         u = Vec3(*(jnp.pad(c, (0, pad), constant_values=1.0) for c in u))
+        if cap is not None:
+            cap = jnp.pad(cap, (0, pad))
     perm = None
     if sort_rays:
-        perm, O, u, _ = _sort_rays(O, u)
+        extra = (cap,) if cap is not None else ()
+        perm, O, u, extra = _sort_rays(O, u, extra)
+        if cap is not None:
+            cap = extra[0]
     rf = _ray_features16(O, u)
     # Derive the tile count from the (static) table shape — tab.n_tiles is a
     # pytree leaf and would be a tracer under jit.
     n_tiles = tab.fields.shape[1] // TILE_T
-    ids, n_active = _block_active_tiles(O, u, tab.tile_aabb, n_tiles)
+    ids, n_active = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap)
     t, idx = _closest_hit_call(
         rf, tab.fields, ids, n_active, float(eps_leaf), interpret
     )

@@ -1,0 +1,27 @@
+"""Golden-image regression: every preset rendered at 48x48/spp2/depth2 with
+seed 0 must match the stored goldens (tests/golden/*.npy, generated on the
+CPU backend).  Catches any silent change to scene parameters, sampling,
+intersection, or compositing.  Regenerate deliberately with
+``python tests/regen_goldens.py`` after intentional changes."""
+import os
+
+import numpy as np
+import pytest
+
+from raytracinggpu_tpu.render.pipeline import render_preset_frame
+from raytracinggpu_tpu.scene.presets import PRESET_NAMES, build_preset
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.mark.parametrize("preset", PRESET_NAMES)
+def test_golden(preset):
+    path = os.path.join(GOLDEN_DIR, f"{preset}_48.npy")
+    golden = np.load(path)
+    cfg, tables = build_preset(preset, width=48, height=48, spp=2, max_depth=2)
+    img, _ = render_preset_frame(tables, cfg, seed=0)
+    # Same platform/backend: expect near-bitwise; allow tiny fp wiggle from
+    # XLA version-to-version fusion differences.
+    bad = np.abs(img - golden) > 1e-4 * np.abs(golden) + 1.0
+    frac = bad.any(-1).mean()
+    assert frac < 0.005, f"{preset}: {frac:.3%} pixels deviate from golden"
