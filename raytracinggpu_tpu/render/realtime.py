@@ -117,6 +117,20 @@ def step(
     return new_state, display
 
 
+def move_object(scene: SceneTables, index: int, delta, dt: float = 0.2) -> SceneTables:
+    """Translate one sphere by v*dt (MoveObject, realtime_render.cu:1092-1098
+    — defined in the reference but never launched; live here).  Callers
+    should reset the accumulation afterwards, like any scene edit."""
+    d = np.asarray(delta, np.float32) * np.float32(dt)
+    sel = (jnp.arange(scene.spheres.cx.shape[0]) == index)
+    sp = scene.spheres._replace(
+        cx=scene.spheres.cx + jnp.where(sel, d[0], 0.0),
+        cy=scene.spheres.cy + jnp.where(sel, d[1], 0.0),
+        cz=scene.spheres.cz + jnp.where(sel, d[2], 0.0),
+    )
+    return scene._replace(spheres=sp)
+
+
 def reset_accumulation(state: RenderState) -> RenderState:
     """buffer_reset semantics (realtime_render.cu:1246-1251): any camera
     input clears the accumulator and restarts frame counting."""

@@ -78,6 +78,18 @@ def test_reset_and_keys():
     assert st5 is st4
 
 
+def test_move_object():
+    from raytracinggpu_tpu.render.realtime import move_object
+
+    _, tables = _rt_scene()
+    t2 = move_object(tables, 1, (1.0, 2.0, -3.0), dt=0.5)
+    assert np.isclose(float(t2.spheres.cx[1]) - float(tables.spheres.cx[1]), 0.5)
+    assert np.isclose(float(t2.spheres.cy[1]) - float(tables.spheres.cy[1]), 1.0)
+    assert np.isclose(float(t2.spheres.cz[1]) - float(tables.spheres.cz[1]), -1.5)
+    # other spheres untouched
+    assert np.allclose(np.asarray(t2.spheres.cx)[::2], np.asarray(tables.spheres.cx)[::2])
+
+
 def test_checkpoint_resume_bit_identical(tmp_path):
     from raytracinggpu_tpu.utils.checkpoint import load_state, save_state
 
