@@ -101,6 +101,8 @@ def cmd_realtime(args) -> int:
 
     cfg, tables = _build(args)
     raw = sys.stdout.buffer if args.raw else None
+    if args.interactive:
+        return _interactive_loop(tables, cfg, args)
     state, summary = run_loop(
         tables,
         cfg,
@@ -114,6 +116,51 @@ def cmd_realtime(args) -> int:
         save_state(args.checkpoint, state)
         print(f"checkpoint -> {args.checkpoint}")
     print(json.dumps(summary))
+    return 0
+
+
+def _interactive_loop(tables, cfg, args) -> int:
+    """Terminal-interactive progressive rendering — the GL-free equivalent of
+    the reference's GLUT loop (realtime_render.cu:1214-1298).  The same key
+    bindings (a/d/r/f/w/s translate, h/l/k/j = arrow yaw/pitch, q = ESC)
+    apply between frames; the latest display frame is continuously written
+    to --out (default live.png) for an image viewer to follow."""
+    import select
+    import sys
+    import termios
+    import time
+    import tty
+
+    import numpy as np
+
+    from raytracinggpu_tpu.render.image_io import write_png
+    from raytracinggpu_tpu.render.realtime import init_state, on_key, step
+
+    keymap = {"h": "left", "l": "right", "k": "up", "j": "down"}
+    out = args.out_dir or "live.png"
+    state = init_state(cfg, tables, seed=args.seed)
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    print(f"interactive: writing {out}; keys a/d r/f w/s move, h/l/k/j look, q quits")
+    try:
+        tty.setcbreak(fd)
+        i = 0
+        while args.frames <= 0 or i < args.frames:
+            t0 = time.perf_counter()
+            state, display = step(tables, cfg, state)
+            display.block_until_ready()
+            write_png(out, np.asarray(display))
+            dt = time.perf_counter() - t0
+            if (i + 1) % 5 == 0:
+                print(f"frame {i+1}: {dt*1e3:.0f} ms ({1/dt:.2f} FPS)", flush=True)
+            while select.select([sys.stdin], [], [], 0)[0]:
+                ch = sys.stdin.read(1)
+                if ch == "q" or ch == "\x1b":
+                    return 0
+                state = on_key(state, keymap.get(ch, ch))
+            i += 1
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
     return 0
 
 
@@ -150,6 +197,8 @@ def main(argv=None) -> int:
                     help="stream raw RGB24 frames to stdout (ffmpeg pipe)")
     pt.add_argument("--light-speed", type=float, default=1.0)
     pt.add_argument("--checkpoint", default=None)
+    pt.add_argument("--interactive", action="store_true",
+                    help="terminal-interactive camera (GLUT-equivalent keys)")
 
     pb = sub.add_parser("bench", help="benchmark sweep (benchmark.py parity)")
     _add_common(pb)

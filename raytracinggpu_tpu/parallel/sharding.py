@@ -87,3 +87,32 @@ def render_frame_sharded(
     Requires H % n_px == 0 and spp % n_sp == 0.
     """
     return _sharded_render_fn(cfg, mesh)(scene, cam, key)
+
+
+def initialize_multihost(coordinator: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> Mesh:
+    """Multi-host (DCN) setup: initialize jax.distributed and build the
+    global (px, sp) mesh over all hosts' devices.
+
+    The reference has no multi-node story at all (SURVEY.md §2.12); this is
+    the TPU-native scale-out: ICI collectives inside a slice, DCN only for
+    the frame gather at the end (the row-sharded output is fetched with
+    jax.device_get per host or assembled via
+    multihost_utils.process_allgather).  Launch one process per host:
+
+        JAX_COORDINATOR=host0:1234 python render.py  (or pass args)
+
+    Single-process (this repo's test rig) falls through to a local mesh.
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    devices = np.asarray(jax.devices())
+    n_sp = 2 if len(devices) % 2 == 0 and len(devices) > 1 else 1
+    return make_mesh(n_px=len(devices) // n_sp, n_sp=n_sp, devices=devices)
