@@ -177,7 +177,7 @@ def _closest_hit_kernel(eps_leaf, track_idx,
     # no per-tile branches, both of which measured ~10x slower than the
     # triangle math they were guarding.
     def body(i, carry):
-        tid = ids_ref[b, i]
+        tid = ids_ref[b, i].astype(jnp.int32)
         off = pl.multiple_of(tid * TILE_T, TILE_T)
         sl = pl.ds(off, TILE_T)
         row = lambda k: tri_ref[k:k + 1, sl]                # (1, TILE_T)
@@ -246,7 +246,7 @@ def _shadow_kernel(eps_leaf, ids_ref, na_ref, rf_ref, tri_ref, t_ref, t_run):
     t_run[:] = jnp.full((BLK_R, TILE_T), INF, jnp.float32)
 
     def body(i, carry):
-        tid = ids_ref[b, i]
+        tid = ids_ref[b, i].astype(jnp.int32)
         off = pl.multiple_of(tid * TILE_T, TILE_T)
         sl = pl.ds(off, TILE_T)
         row = lambda k: tri_ref[k:k + 1, sl]
@@ -363,7 +363,9 @@ def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
     if cap is not None:
         hit = hit & (enter <= cap[None, :])
     blk = hit.reshape(n_tiles, -1, BLK_R).any(axis=2).T      # (n_blocks, nt)
-    order = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int32)
+    # int8 ids: the scalar-prefetch operands live in the ~1 MB SMEM; int32
+    # lists overflow it for multi-sample fused batches.
+    order = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int8)
     n_active = blk.sum(axis=1, dtype=jnp.int32)[:, None]
     return order, n_active
 

@@ -162,7 +162,9 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
     whole batch in one chunk (fewer dispatches, better grid pipelining).
     """
     R = u.x.shape[0]
-    chunk = R if cfg.traversal == "pallas" else min(cfg.ray_chunk, R)
+    # pallas: one chunk up to 2^18 rays (scalar-prefetch lists must fit SMEM);
+    # dense: cfg.ray_chunk bounds the matmul intermediates.
+    chunk = min(R, 262144) if cfg.traversal == "pallas" else min(cfg.ray_chunk, R)
     # uniforms (D, 2, R) -> (n_chunks, D, 2, chunk)
     un = jnp.moveaxis(uniforms, -1, 0)       # (R, D, 2)
     un = _pad_chunks(un, chunk)              # (nc, chunk, D, 2)
@@ -193,26 +195,47 @@ def render_rows(
 ):
     """Accumulated (unaveraged) radiance for a set of global rows over a set
     of global sample ids — the shared core of single-chip and sharded
-    rendering.  Returns (color Vec3 (nr*W,), TraceStats summed)."""
+    rendering.  Returns (color Vec3 (nr*W,), TraceStats summed).
+
+    Samples trace in fused groups of cfg.spp_fuse: each group's rays
+    concatenate into one wavefront, so kernels see g-times-larger batches
+    per dispatch.  RNG stays keyed per (sample, row); results are bitwise
+    independent of the grouping.
+    """
     W, D = cfg.width, cfg.max_depth
     R = rows.shape[0] * W
+    n_s = int(sample_ids.shape[0])
+    g = max(1, min(cfg.spp_fuse, n_s))
+    while n_s % g:
+        g -= 1
+    groups = jnp.asarray(sample_ids).reshape(-1, g)
 
-    def sample_body(carry, s):
+    def group_body(carry, s_group):
         acc, stats_acc = carry
-        key_s = jax.random.fold_in(key, s)
-        un = row_uniforms(key_s, rows, W, D)       # (D+1, 2, R)
-        gx, gy = box_muller_jitter(un[0, 0], un[0, 1], np.float32(cfg.sigma))
-        O, u = raygen(cfg, cam, gx, gy, rows)
-        col, stats = trace_chunked(scene, cfg, O, u, un[1:])
+
+        def per_sample(s):
+            key_s = jax.random.fold_in(key, s)
+            un = row_uniforms(key_s, rows, W, D)   # (D+1, 2, R)
+            gx, gy = box_muller_jitter(un[0, 0], un[0, 1], np.float32(cfg.sigma))
+            O, u = raygen(cfg, cam, gx, gy, rows)
+            return O, u, un[1:]
+
+        O, u, un = jax.vmap(per_sample)(s_group)   # leading axis g
+        O = Vec3(*(c.reshape(-1) for c in O))
+        u = Vec3(*(c.reshape(-1) for c in u))
+        # (g, D, 2, R) -> (D, 2, g*R), sample-major like the flattened rays.
+        un = jnp.concatenate([un[i] for i in range(g)], axis=-1)
+        col, stats = trace_chunked(scene, cfg, O, u, un)
+        col = Vec3(*(c.reshape(g, R).sum(axis=0) for c in col))
         acc = acc + col
         stats_acc = jax.tree.map(lambda a, b: a + b, stats_acc, stats)
         return (acc, stats_acc), None
 
     from raytracinggpu_tpu.integrator.wavefront import TraceStats
 
-    stats0 = TraceStats(*(jnp.zeros((D,), jnp.int32) for _ in range(6)))  # small; lowered host-side via XLA zeros
+    stats0 = TraceStats(*(jnp.zeros((D,), jnp.int32) for _ in range(6)))
     (acc, stats), _ = jax.lax.scan(
-        sample_body, (Vec3.zeros((R,)), stats0), sample_ids
+        group_body, (Vec3.zeros((R,)), stats0), groups
     )
     return acc, stats
 

@@ -99,6 +99,10 @@ class RenderConfig:
                                 # span many tiles, so sorting currently costs
                                 # more than it saves)
     ray_chunk: int = 65536      # rays per inner chunk (memory control)
+    spp_fuse: int = 4           # samples folded into one wavefront (the
+                                # sample loop runs in groups of this size;
+                                # bigger groups = larger ray batches per
+                                # kernel dispatch, more VPU work in flight)
     tri_block: int = 512        # triangle block for the dense scan
     mxu_precision: str = "highest"  # highest | default (bf16 fast path)
 
