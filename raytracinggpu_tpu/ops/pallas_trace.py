@@ -46,6 +46,11 @@ from raytracinggpu_tpu.ops.triangle import TriHit
 INF = 1e9 + 9
 TILE_T = 128   # triangles per tile (lane dimension)
 BLK_R = 1024   # rays per kernel program (8 output sublanes x 128 lanes)
+SUBG = 128     # rays per culling subgroup: tile lists are kept at this
+               # granularity because the active-tile union grows with group
+               # size (measured on bounce rays: 128 rays -> 10.9 tiles,
+               # 1024 rays -> 22.8), and (128, 128) ops lose no VPU
+               # efficiency vs (1024, 128)
 NUM_FIELDS = 16
 
 
@@ -158,126 +163,138 @@ def _ray_features16(O: Vec3, u: Vec3) -> jnp.ndarray:
 
 
 def _closest_hit_kernel(eps_leaf, track_idx,
-                        ids_ref, na_ref, rf_ref, tri_ref,
+                        lists_ref, rf_ref, tri_ref,
                         t_ref, idx_ref, t_run, tile_run):
+    """Two-level tiled closest hit for one 1024-ray program block.
+
+    The block is processed as 8 subgroups of 128 rays, each with its own
+    pre-culled active-tile list (XLA-side slab tests reduced per subgroup
+    and fed via scalar prefetch).  The only control flow is one SMEM-driven
+    fori_loop per subgroup — no vector->scalar reductions, no per-tile
+    branches, both of which measured ~10x slower than the triangle math
+    they were guarding."""
     b = pl.program_id(0)
-    col = lambda k: rf_ref[:, k:k + 1]                      # (BLK_R, 1)
-    ux, uy, uz = col(0), col(1), col(2)
-    wx, wy, wz = col(3), col(4), col(5)
-    Ox, Oy, Oz = col(6), col(7), col(8)
+    n_sg = BLK_R // SUBG
 
-    t_run[:] = jnp.full((BLK_R, TILE_T), INF, jnp.float32)
-    if track_idx:
-        tile_run[:] = jnp.zeros((BLK_R, TILE_T), jnp.int32)
+    for sg in range(n_sg):
+        rows = pl.ds(sg * SUBG, SUBG)
+        col = lambda k: rf_ref[rows, k:k + 1]               # (SUBG, 1)
+        ux, uy, uz = col(0), col(1), col(2)
+        wx, wy, wz = col(3), col(4), col(5)
+        Ox, Oy, Oz = col(6), col(7), col(8)
 
-    # Scalar-driven loop over the block's PRE-CULLED active tiles.  The slab
-    # tests run vectorized in XLA outside the kernel (per-ray tests reduced
-    # to a per-(block, tile) any-mask); in here the only control flow is one
-    # fori_loop with a trip count from SMEM — no vector->scalar reductions,
-    # no per-tile branches, both of which measured ~10x slower than the
-    # triangle math they were guarding.
-    def body(i, carry):
-        tid = ids_ref[b, i].astype(jnp.int32)
-        off = pl.multiple_of(tid * TILE_T, TILE_T)
-        sl = pl.ds(off, TILE_T)
-        row = lambda k: tri_ref[k:k + 1, sl]                # (1, TILE_T)
-        ngx, ngy, ngz = row(0), row(1), row(2)
-        c2x, c2y, c2z = row(3), row(4), row(5)
-        e2x, e2y, e2z = row(6), row(7), row(8)
-        c1x, c1y, c1z = row(9), row(10), row(11)
-        e1x, e1y, e1z = row(12), row(13), row(14)
-        adn = row(15)
-
-        denom = ux * ngx + uy * ngy + uz * ngz
-        bnum = (ux * c2x + uy * c2y + uz * c2z) - (
-            wx * e2x + wy * e2y + wz * e2z
-        )
-        gnum = (wx * e1x + wy * e1y + wz * e1z) - (
-            ux * c1x + uy * c1y + uz * c1z
-        )
-        tnum = adn - (Ox * ngx + Oy * ngy + Oz * ngz)
-        rden = 1.0 / denom
-        beta = bnum * rden
-        gamma = gnum * rden
-        tval = tnum * rden
-        # min(beta, gamma, 1-beta-gamma) >= 0 folds the five barycentric
-        # range checks of moller_trumbore (global_launcher.cu:238-242) into
-        # two mins + one compare; t > max(eps, 0) folds t>0 with the leaf
-        # epsilon.
-        bary_ok = jnp.minimum(
-            jnp.minimum(beta, gamma), 1.0 - beta - gamma
-        ) >= 0.0
-        valid = (
-            (denom != 0.0) & bary_ok
-            & (tval > max(float(eps_leaf), 0.0))
-        )
-        tmask = jnp.where(valid, tval, INF)
-        upd = tmask < t_run[:]
-        t_run[:] = jnp.where(upd, tmask, t_run[:])
+        t_run[:] = jnp.full((SUBG, TILE_T), INF, jnp.float32)
         if track_idx:
-            tile_run[:] = jnp.where(upd, tid, tile_run[:])
-        return carry
+            tile_run[:] = jnp.zeros((SUBG, TILE_T), jnp.int32)
 
-    jax.lax.fori_loop(0, na_ref[b, 0], body, 0)
+        def body(i, carry, ux=ux, uy=uy, uz=uz, wx=wx, wy=wy, wz=wz,
+                 Ox=Ox, Oy=Oy, Oz=Oz, sg=sg):
+            tid = lists_ref[b * n_sg + sg, 1 + i].astype(jnp.int32)
+            off = pl.multiple_of(tid * TILE_T, TILE_T)
+            sl = pl.ds(off, TILE_T)
+            row = lambda k: tri_ref[k:k + 1, sl]            # (1, TILE_T)
+            ngx, ngy, ngz = row(0), row(1), row(2)
+            c2x, c2y, c2z = row(3), row(4), row(5)
+            e2x, e2y, e2z = row(6), row(7), row(8)
+            c1x, c1y, c1z = row(9), row(10), row(11)
+            e1x, e1y, e1z = row(12), row(13), row(14)
+            adn = row(15)
 
-    t_min = jnp.min(t_run[:], axis=1)
-    t_ref[:, :] = t_min.reshape(BLK_R // TILE_T, TILE_T)
-    if track_idx:
-        lane = jax.lax.broadcasted_iota(jnp.int32, (BLK_R, TILE_T), 1)
-        win = t_run[:] == t_min[:, None]
-        idx = jnp.max(
-            jnp.where(win, tile_run[:] * TILE_T + lane, -1), axis=1
-        )
-        idx_ref[:, :] = jnp.maximum(idx, 0).reshape(BLK_R // TILE_T, TILE_T)
+            denom = ux * ngx + uy * ngy + uz * ngz
+            bnum = (ux * c2x + uy * c2y + uz * c2z) - (
+                wx * e2x + wy * e2y + wz * e2z
+            )
+            gnum = (wx * e1x + wy * e1y + wz * e1z) - (
+                ux * c1x + uy * c1y + uz * c1z
+            )
+            tnum = adn - (Ox * ngx + Oy * ngy + Oz * ngz)
+            rden = 1.0 / denom
+            beta = bnum * rden
+            gamma = gnum * rden
+            tval = tnum * rden
+            # min(beta, gamma, 1-beta-gamma) >= 0 folds the five barycentric
+            # range checks of moller_trumbore (global_launcher.cu:238-242)
+            # into two mins + one compare; t > max(eps, 0) folds t>0 with
+            # the leaf epsilon.
+            bary_ok = jnp.minimum(
+                jnp.minimum(beta, gamma), 1.0 - beta - gamma
+            ) >= 0.0
+            valid = (
+                (denom != 0.0) & bary_ok
+                & (tval > max(float(eps_leaf), 0.0))
+            )
+            tmask = jnp.where(valid, tval, INF)
+            upd = tmask < t_run[:]
+            t_run[:] = jnp.where(upd, tmask, t_run[:])
+            if track_idx:
+                tile_run[:] = jnp.where(upd, tid, tile_run[:])
+            return carry
+
+        jax.lax.fori_loop(0, lists_ref[b * n_sg + sg, 0].astype(jnp.int32), body, 0)
+
+        t_min = jnp.min(t_run[:], axis=1)                   # (SUBG,)
+        t_ref[sg:sg + 1, :] = t_min.reshape(1, TILE_T)
+        if track_idx:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (SUBG, TILE_T), 1)
+            win = t_run[:] == t_min[:, None]
+            idx = jnp.max(
+                jnp.where(win, tile_run[:] * TILE_T + lane, -1), axis=1
+            )
+            idx_ref[sg:sg + 1, :] = jnp.maximum(idx, 0).reshape(1, TILE_T)
 
 
-def _shadow_kernel(eps_leaf, ids_ref, na_ref, rf_ref, tri_ref, t_ref, t_run):
-    """Any-hit (occlusion) variant: same Moller-Trumbore tile loop but no
-    winner tracking — the shadow test only needs the nearest distance to
-    compare against |L - P|^2 (global_launcher.cu:795-799), so the running
-    min is a single fused minimum and the argmin epilogue disappears.
-    Shadow rays are ~half of all casts (one per diffuse depth)."""
+def _shadow_kernel(eps_leaf, lists_ref, rf_ref, tri_ref, t_ref, t_run):
+    """Any-hit (occlusion) variant: same two-level Moller-Trumbore tile loop
+    but no winner tracking — the shadow test only needs the nearest distance
+    to compare against |L - P|^2 (global_launcher.cu:795-799), so the
+    running min is a single fused minimum and the argmin epilogue
+    disappears.  Shadow rays are ~half of all casts."""
     b = pl.program_id(0)
-    col = lambda k: rf_ref[:, k:k + 1]
-    ux, uy, uz = col(0), col(1), col(2)
-    wx, wy, wz = col(3), col(4), col(5)
-    Ox, Oy, Oz = col(6), col(7), col(8)
+    n_sg = BLK_R // SUBG
 
-    t_run[:] = jnp.full((BLK_R, TILE_T), INF, jnp.float32)
+    for sg in range(n_sg):
+        rows = pl.ds(sg * SUBG, SUBG)
+        col = lambda k: rf_ref[rows, k:k + 1]
+        ux, uy, uz = col(0), col(1), col(2)
+        wx, wy, wz = col(3), col(4), col(5)
+        Ox, Oy, Oz = col(6), col(7), col(8)
 
-    def body(i, carry):
-        tid = ids_ref[b, i].astype(jnp.int32)
-        off = pl.multiple_of(tid * TILE_T, TILE_T)
-        sl = pl.ds(off, TILE_T)
-        row = lambda k: tri_ref[k:k + 1, sl]
-        denom = ux * row(0) + uy * row(1) + uz * row(2)
-        bnum = (ux * row(3) + uy * row(4) + uz * row(5)) - (
-            wx * row(6) + wy * row(7) + wz * row(8)
-        )
-        gnum = (wx * row(12) + wy * row(13) + wz * row(14)) - (
-            ux * row(9) + uy * row(10) + uz * row(11)
-        )
-        tnum = row(15) - (Ox * row(0) + Oy * row(1) + Oz * row(2))
-        rden = 1.0 / denom
-        beta = bnum * rden
-        gamma = gnum * rden
-        tval = tnum * rden
-        bary_ok = jnp.minimum(
-            jnp.minimum(beta, gamma), 1.0 - beta - gamma
-        ) >= 0.0
-        valid = bary_ok & (tval > max(float(eps_leaf), 0.0))
-        t_run[:] = jnp.minimum(t_run[:], jnp.where(valid, tval, INF))
-        return carry
+        t_run[:] = jnp.full((SUBG, TILE_T), INF, jnp.float32)
 
-    jax.lax.fori_loop(0, na_ref[b, 0], body, 0)
-    t_ref[:, :] = jnp.min(t_run[:], axis=1).reshape(BLK_R // TILE_T, TILE_T)
+        def body(i, carry, ux=ux, uy=uy, uz=uz, wx=wx, wy=wy, wz=wz,
+                 Ox=Ox, Oy=Oy, Oz=Oz, sg=sg):
+            tid = lists_ref[b * n_sg + sg, 1 + i].astype(jnp.int32)
+            off = pl.multiple_of(tid * TILE_T, TILE_T)
+            sl = pl.ds(off, TILE_T)
+            row = lambda k: tri_ref[k:k + 1, sl]
+            denom = ux * row(0) + uy * row(1) + uz * row(2)
+            bnum = (ux * row(3) + uy * row(4) + uz * row(5)) - (
+                wx * row(6) + wy * row(7) + wz * row(8)
+            )
+            gnum = (wx * row(12) + wy * row(13) + wz * row(14)) - (
+                ux * row(9) + uy * row(10) + uz * row(11)
+            )
+            tnum = row(15) - (Ox * row(0) + Oy * row(1) + Oz * row(2))
+            rden = 1.0 / denom
+            beta = bnum * rden
+            gamma = gnum * rden
+            tval = tnum * rden
+            bary_ok = jnp.minimum(
+                jnp.minimum(beta, gamma), 1.0 - beta - gamma
+            ) >= 0.0
+            valid = bary_ok & (tval > max(float(eps_leaf), 0.0))
+            t_run[:] = jnp.minimum(t_run[:], jnp.where(valid, tval, INF))
+            return carry
+
+        jax.lax.fori_loop(0, lists_ref[b * n_sg + sg, 0].astype(jnp.int32), body, 0)
+        t_ref[sg:sg + 1, :] = jnp.min(t_run[:], axis=1).reshape(1, TILE_T)
 
 
 @functools.partial(jax.jit, static_argnames=("eps_leaf", "interpret"))
-def _shadow_call(rf, fields, ids, n_active, eps_leaf, interpret):
+def _shadow_call(rf, fields, lists, eps_leaf, interpret):
     R = rf.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(R // BLK_R,),
         in_specs=[
             pl.BlockSpec((BLK_R, NUM_FIELDS), lambda i, *_: (i, 0),
@@ -287,7 +304,7 @@ def _shadow_call(rf, fields, ids, n_active, eps_leaf, interpret):
         ],
         out_specs=pl.BlockSpec((BLK_R // TILE_T, TILE_T), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BLK_R, TILE_T), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((SUBG, TILE_T), jnp.float32)],
     )
     kernel = functools.partial(_shadow_kernel, eps_leaf)
     t = pl.pallas_call(
@@ -295,7 +312,7 @@ def _shadow_call(rf, fields, ids, n_active, eps_leaf, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R // TILE_T, TILE_T), jnp.float32),
         interpret=interpret,
-    )(ids, n_active, rf, fields)
+    )(lists, rf, fields)
     return t.reshape(-1)
 
 
@@ -326,8 +343,8 @@ def intersect_tris_shadow(
             cap = extra[0]
     rf = _ray_features16(O, u)
     n_tiles = tab.fields.shape[1] // TILE_T
-    ids, n_active = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap)
-    t = _shadow_call(rf, tab.fields, ids, n_active, float(eps_leaf), interpret)
+    lists = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap)
+    t = _shadow_call(rf, tab.fields, lists, float(eps_leaf), interpret)
     if perm is not None:
         (t,) = _unsort(perm, t)
     return t[:R] if pad else t
@@ -348,7 +365,7 @@ def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
     cap: optional per-ray max distance (shadow rays: |L - P|); tiles whose
     entry is beyond the cap cannot occlude and are culled.
 
-    Returns (ids (n_blocks, n_tiles) i32, n_active (n_blocks, 1) i32).
+    Returns int8 rows [count, id0, id1, ...] per SUBG-ray subgroup.
     """
     big = np.float32(3.4e38)
     enter = jnp.full((n_tiles, O.x.shape[0]), -big)
@@ -362,19 +379,21 @@ def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
     hit = (exit_ > enter) & (exit_ >= 0.0)                   # (nt, R)
     if cap is not None:
         hit = hit & (enter <= cap[None, :])
-    blk = hit.reshape(n_tiles, -1, BLK_R).any(axis=2).T      # (n_blocks, nt)
-    # int8 ids: the scalar-prefetch operands live in the ~1 MB SMEM; int32
-    # lists overflow it for multi-sample fused batches.
+    blk = hit.reshape(n_tiles, -1, SUBG).any(axis=2).T       # (n_subgroups, nt)
+    # One merged int8 row per subgroup: [count, id0, id1, ...].  The
+    # scalar-prefetch operands live in SMEM where every row pads its last
+    # dim to 128 elements, so separate count/ids arrays overflow the ~1 MB
+    # budget for large fused batches.
     order = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int8)
-    n_active = blk.sum(axis=1, dtype=jnp.int32)[:, None]
-    return order, n_active
+    n_active = blk.sum(axis=1, dtype=jnp.int8)[:, None]
+    return jnp.concatenate([n_active, order], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("eps_leaf", "interpret"))
-def _closest_hit_call(rf, fields, ids, n_active, eps_leaf, interpret):
+def _closest_hit_call(rf, fields, lists, eps_leaf, interpret):
     R = rf.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # ids, n_active (whole arrays, SMEM)
+        num_scalar_prefetch=1,  # merged [count|ids] rows (SMEM)
         grid=(R // BLK_R,),
         in_specs=[
             pl.BlockSpec((BLK_R, NUM_FIELDS), lambda i, *_: (i, 0),
@@ -389,8 +408,8 @@ def _closest_hit_call(rf, fields, ids, n_active, eps_leaf, interpret):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLK_R, TILE_T), jnp.float32),
-            pltpu.VMEM((BLK_R, TILE_T), jnp.int32),
+            pltpu.VMEM((SUBG, TILE_T), jnp.float32),
+            pltpu.VMEM((SUBG, TILE_T), jnp.int32),
         ],
     )
     kernel = functools.partial(_closest_hit_kernel, eps_leaf, True)
@@ -402,7 +421,7 @@ def _closest_hit_call(rf, fields, ids, n_active, eps_leaf, interpret):
             jax.ShapeDtypeStruct((R // TILE_T, TILE_T), jnp.int32),
         ],
         interpret=interpret,
-    )(ids, n_active, rf, fields)
+    )(lists, rf, fields)
     return t.reshape(-1), idx.reshape(-1)
 
 
@@ -446,10 +465,8 @@ def intersect_tris_pallas(
     # Derive the tile count from the (static) table shape — tab.n_tiles is a
     # pytree leaf and would be a tracer under jit.
     n_tiles = tab.fields.shape[1] // TILE_T
-    ids, n_active = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap)
-    t, idx = _closest_hit_call(
-        rf, tab.fields, ids, n_active, float(eps_leaf), interpret
-    )
+    lists = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap)
+    t, idx = _closest_hit_call(rf, tab.fields, lists, float(eps_leaf), interpret)
     if perm is not None:
         t, idx = _unsort(perm, t, idx)
     if pad:
