@@ -46,11 +46,11 @@ from raytracinggpu_tpu.ops.triangle import TriHit
 INF = 1e9 + 9
 TILE_T = 128   # triangles per tile (lane dimension)
 BLK_R = 1024   # rays per kernel program (8 output sublanes x 128 lanes)
-SUBG = 128     # rays per culling subgroup: tile lists are kept at this
-               # granularity because the active-tile union grows with group
-               # size (measured on bounce rays: 128 rays -> 10.9 tiles,
-               # 1024 rays -> 22.8), and (128, 128) ops lose no VPU
-               # efficiency vs (1024, 128)
+SUBG = 64      # rays per culling subgroup: the active-tile union grows with
+               # group size (measured on bounce rays: 64 rays -> 7.7 tiles,
+               # 128 -> 10.9, 1024 -> 22.8); 64 is the smallest size whose
+               # int8 [count|ids] lists still fit the 1MB SMEM prefetch
+               # budget at 2^18-ray batches (rows pad to 128 bytes)
 NUM_FIELDS = 16
 
 
@@ -175,72 +175,78 @@ def _closest_hit_kernel(eps_leaf, track_idx,
     they were guarding."""
     b = pl.program_id(0)
     n_sg = BLK_R // SUBG
+    per_row = TILE_T // SUBG  # subgroups per 128-ray output row
 
-    for sg in range(n_sg):
-        rows = pl.ds(sg * SUBG, SUBG)
-        col = lambda k: rf_ref[rows, k:k + 1]               # (SUBG, 1)
-        ux, uy, uz = col(0), col(1), col(2)
-        wx, wy, wz = col(3), col(4), col(5)
-        Ox, Oy, Oz = col(6), col(7), col(8)
-
-        t_run[:] = jnp.full((SUBG, TILE_T), INF, jnp.float32)
+    for out_row in range(BLK_R // TILE_T):
+        t_run[:] = jnp.full((TILE_T, TILE_T), INF, jnp.float32)
         if track_idx:
-            tile_run[:] = jnp.zeros((SUBG, TILE_T), jnp.int32)
+            tile_run[:] = jnp.zeros((TILE_T, TILE_T), jnp.int32)
 
-        def body(i, carry, ux=ux, uy=uy, uz=uz, wx=wx, wy=wy, wz=wz,
-                 Ox=Ox, Oy=Oy, Oz=Oz, sg=sg):
-            tid = lists_ref[b * n_sg + sg, 1 + i].astype(jnp.int32)
-            off = pl.multiple_of(tid * TILE_T, TILE_T)
-            sl = pl.ds(off, TILE_T)
-            row = lambda k: tri_ref[k:k + 1, sl]            # (1, TILE_T)
-            ngx, ngy, ngz = row(0), row(1), row(2)
-            c2x, c2y, c2z = row(3), row(4), row(5)
-            e2x, e2y, e2z = row(6), row(7), row(8)
-            c1x, c1y, c1z = row(9), row(10), row(11)
-            e1x, e1y, e1z = row(12), row(13), row(14)
-            adn = row(15)
+        for half in range(per_row):
+            sg = out_row * per_row + half
+            rows = pl.ds(sg * SUBG, SUBG)
+            scr = pl.ds(half * SUBG, SUBG)
+            col = lambda k: rf_ref[rows, k:k + 1]           # (SUBG, 1)
+            ux, uy, uz = col(0), col(1), col(2)
+            wx, wy, wz = col(3), col(4), col(5)
+            Ox, Oy, Oz = col(6), col(7), col(8)
 
-            denom = ux * ngx + uy * ngy + uz * ngz
-            bnum = (ux * c2x + uy * c2y + uz * c2z) - (
-                wx * e2x + wy * e2y + wz * e2z
+            def body(i, carry, ux=ux, uy=uy, uz=uz, wx=wx, wy=wy, wz=wz,
+                     Ox=Ox, Oy=Oy, Oz=Oz, sg=sg, scr=scr):
+                tid = lists_ref[b * n_sg + sg, 1 + i].astype(jnp.int32)
+                off = pl.multiple_of(tid * TILE_T, TILE_T)
+                sl = pl.ds(off, TILE_T)
+                row = lambda k: tri_ref[k:k + 1, sl]        # (1, TILE_T)
+                ngx, ngy, ngz = row(0), row(1), row(2)
+                c2x, c2y, c2z = row(3), row(4), row(5)
+                e2x, e2y, e2z = row(6), row(7), row(8)
+                c1x, c1y, c1z = row(9), row(10), row(11)
+                e1x, e1y, e1z = row(12), row(13), row(14)
+                adn = row(15)
+
+                denom = ux * ngx + uy * ngy + uz * ngz
+                bnum = (ux * c2x + uy * c2y + uz * c2z) - (
+                    wx * e2x + wy * e2y + wz * e2z
+                )
+                gnum = (wx * e1x + wy * e1y + wz * e1z) - (
+                    ux * c1x + uy * c1y + uz * c1z
+                )
+                tnum = adn - (Ox * ngx + Oy * ngy + Oz * ngz)
+                rden = 1.0 / denom
+                beta = bnum * rden
+                gamma = gnum * rden
+                tval = tnum * rden
+                # min(beta, gamma, 1-beta-gamma) >= 0 folds the five
+                # barycentric range checks of moller_trumbore
+                # (global_launcher.cu:238-242) into two mins + one compare;
+                # t > max(eps, 0) folds t>0 with the leaf epsilon.
+                bary_ok = jnp.minimum(
+                    jnp.minimum(beta, gamma), 1.0 - beta - gamma
+                ) >= 0.0
+                valid = (
+                    (denom != 0.0) & bary_ok
+                    & (tval > max(float(eps_leaf), 0.0))
+                )
+                tmask = jnp.where(valid, tval, INF)
+                upd = tmask < t_run[scr, :]
+                t_run[scr, :] = jnp.where(upd, tmask, t_run[scr, :])
+                if track_idx:
+                    tile_run[scr, :] = jnp.where(upd, tid, tile_run[scr, :])
+                return carry
+
+            jax.lax.fori_loop(
+                0, lists_ref[b * n_sg + sg, 0].astype(jnp.int32), body, 0
             )
-            gnum = (wx * e1x + wy * e1y + wz * e1z) - (
-                ux * c1x + uy * c1y + uz * c1z
-            )
-            tnum = adn - (Ox * ngx + Oy * ngy + Oz * ngz)
-            rden = 1.0 / denom
-            beta = bnum * rden
-            gamma = gnum * rden
-            tval = tnum * rden
-            # min(beta, gamma, 1-beta-gamma) >= 0 folds the five barycentric
-            # range checks of moller_trumbore (global_launcher.cu:238-242)
-            # into two mins + one compare; t > max(eps, 0) folds t>0 with
-            # the leaf epsilon.
-            bary_ok = jnp.minimum(
-                jnp.minimum(beta, gamma), 1.0 - beta - gamma
-            ) >= 0.0
-            valid = (
-                (denom != 0.0) & bary_ok
-                & (tval > max(float(eps_leaf), 0.0))
-            )
-            tmask = jnp.where(valid, tval, INF)
-            upd = tmask < t_run[:]
-            t_run[:] = jnp.where(upd, tmask, t_run[:])
-            if track_idx:
-                tile_run[:] = jnp.where(upd, tid, tile_run[:])
-            return carry
 
-        jax.lax.fori_loop(0, lists_ref[b * n_sg + sg, 0].astype(jnp.int32), body, 0)
-
-        t_min = jnp.min(t_run[:], axis=1)                   # (SUBG,)
-        t_ref[sg:sg + 1, :] = t_min.reshape(1, TILE_T)
+        t_min = jnp.min(t_run[:], axis=1)                   # (TILE_T,)
+        t_ref[out_row:out_row + 1, :] = t_min.reshape(1, TILE_T)
         if track_idx:
-            lane = jax.lax.broadcasted_iota(jnp.int32, (SUBG, TILE_T), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_T, TILE_T), 1)
             win = t_run[:] == t_min[:, None]
             idx = jnp.max(
                 jnp.where(win, tile_run[:] * TILE_T + lane, -1), axis=1
             )
-            idx_ref[sg:sg + 1, :] = jnp.maximum(idx, 0).reshape(1, TILE_T)
+            idx_ref[out_row:out_row + 1, :] = jnp.maximum(idx, 0).reshape(1, TILE_T)
 
 
 def _shadow_kernel(eps_leaf, lists_ref, rf_ref, tri_ref, t_ref, t_run):
@@ -251,43 +257,54 @@ def _shadow_kernel(eps_leaf, lists_ref, rf_ref, tri_ref, t_ref, t_run):
     disappears.  Shadow rays are ~half of all casts."""
     b = pl.program_id(0)
     n_sg = BLK_R // SUBG
+    per_row = TILE_T // SUBG
 
-    for sg in range(n_sg):
-        rows = pl.ds(sg * SUBG, SUBG)
-        col = lambda k: rf_ref[rows, k:k + 1]
-        ux, uy, uz = col(0), col(1), col(2)
-        wx, wy, wz = col(3), col(4), col(5)
-        Ox, Oy, Oz = col(6), col(7), col(8)
+    for out_row in range(BLK_R // TILE_T):
+        t_run[:] = jnp.full((TILE_T, TILE_T), INF, jnp.float32)
 
-        t_run[:] = jnp.full((SUBG, TILE_T), INF, jnp.float32)
+        for half in range(per_row):
+            sg = out_row * per_row + half
+            rows = pl.ds(sg * SUBG, SUBG)
+            scr = pl.ds(half * SUBG, SUBG)
+            col = lambda k: rf_ref[rows, k:k + 1]
+            ux, uy, uz = col(0), col(1), col(2)
+            wx, wy, wz = col(3), col(4), col(5)
+            Ox, Oy, Oz = col(6), col(7), col(8)
 
-        def body(i, carry, ux=ux, uy=uy, uz=uz, wx=wx, wy=wy, wz=wz,
-                 Ox=Ox, Oy=Oy, Oz=Oz, sg=sg):
-            tid = lists_ref[b * n_sg + sg, 1 + i].astype(jnp.int32)
-            off = pl.multiple_of(tid * TILE_T, TILE_T)
-            sl = pl.ds(off, TILE_T)
-            row = lambda k: tri_ref[k:k + 1, sl]
-            denom = ux * row(0) + uy * row(1) + uz * row(2)
-            bnum = (ux * row(3) + uy * row(4) + uz * row(5)) - (
-                wx * row(6) + wy * row(7) + wz * row(8)
+            def body(i, carry, ux=ux, uy=uy, uz=uz, wx=wx, wy=wy, wz=wz,
+                     Ox=Ox, Oy=Oy, Oz=Oz, sg=sg, scr=scr):
+                tid = lists_ref[b * n_sg + sg, 1 + i].astype(jnp.int32)
+                off = pl.multiple_of(tid * TILE_T, TILE_T)
+                sl = pl.ds(off, TILE_T)
+                row = lambda k: tri_ref[k:k + 1, sl]
+                denom = ux * row(0) + uy * row(1) + uz * row(2)
+                bnum = (ux * row(3) + uy * row(4) + uz * row(5)) - (
+                    wx * row(6) + wy * row(7) + wz * row(8)
+                )
+                gnum = (wx * row(12) + wy * row(13) + wz * row(14)) - (
+                    ux * row(9) + uy * row(10) + uz * row(11)
+                )
+                tnum = row(15) - (Ox * row(0) + Oy * row(1) + Oz * row(2))
+                rden = 1.0 / denom
+                beta = bnum * rden
+                gamma = gnum * rden
+                tval = tnum * rden
+                bary_ok = jnp.minimum(
+                    jnp.minimum(beta, gamma), 1.0 - beta - gamma
+                ) >= 0.0
+                valid = bary_ok & (tval > max(float(eps_leaf), 0.0))
+                t_run[scr, :] = jnp.minimum(
+                    t_run[scr, :], jnp.where(valid, tval, INF)
+                )
+                return carry
+
+            jax.lax.fori_loop(
+                0, lists_ref[b * n_sg + sg, 0].astype(jnp.int32), body, 0
             )
-            gnum = (wx * row(12) + wy * row(13) + wz * row(14)) - (
-                ux * row(9) + uy * row(10) + uz * row(11)
-            )
-            tnum = row(15) - (Ox * row(0) + Oy * row(1) + Oz * row(2))
-            rden = 1.0 / denom
-            beta = bnum * rden
-            gamma = gnum * rden
-            tval = tnum * rden
-            bary_ok = jnp.minimum(
-                jnp.minimum(beta, gamma), 1.0 - beta - gamma
-            ) >= 0.0
-            valid = bary_ok & (tval > max(float(eps_leaf), 0.0))
-            t_run[:] = jnp.minimum(t_run[:], jnp.where(valid, tval, INF))
-            return carry
 
-        jax.lax.fori_loop(0, lists_ref[b * n_sg + sg, 0].astype(jnp.int32), body, 0)
-        t_ref[sg:sg + 1, :] = jnp.min(t_run[:], axis=1).reshape(1, TILE_T)
+        t_ref[out_row:out_row + 1, :] = (
+            jnp.min(t_run[:], axis=1).reshape(1, TILE_T)
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("eps_leaf", "interpret"))
@@ -304,7 +321,7 @@ def _shadow_call(rf, fields, lists, eps_leaf, interpret):
         ],
         out_specs=pl.BlockSpec((BLK_R // TILE_T, TILE_T), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((SUBG, TILE_T), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TILE_T, TILE_T), jnp.float32)],
     )
     kernel = functools.partial(_shadow_kernel, eps_leaf)
     t = pl.pallas_call(
@@ -408,8 +425,8 @@ def _closest_hit_call(rf, fields, lists, eps_leaf, interpret):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SUBG, TILE_T), jnp.float32),
-            pltpu.VMEM((SUBG, TILE_T), jnp.int32),
+            pltpu.VMEM((TILE_T, TILE_T), jnp.float32),
+            pltpu.VMEM((TILE_T, TILE_T), jnp.int32),
         ],
     )
     kernel = functools.partial(_closest_hit_kernel, eps_leaf, True)
