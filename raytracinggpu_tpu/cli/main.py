@@ -65,26 +65,35 @@ def cmd_render(args) -> int:
 
     from raytracinggpu_tpu.render.image_io import tonemap, write_png
     from raytracinggpu_tpu.render.pipeline import Camera, render_frame
-    from raytracinggpu_tpu.utils.profiling import ray_report
+    from raytracinggpu_tpu.utils.profiling import device_trace, ray_report
 
     cfg, tables = _build(args)
     cam = Camera.fixed(cfg.camera_c)
     key = jax.random.PRNGKey(args.seed)
 
-    t0 = time.perf_counter()
-    if args.devices > 1:
-        from raytracinggpu_tpu.parallel.sharding import (
-            make_mesh,
-            render_frame_sharded,
-        )
+    def run():
+        if args.devices > 1:
+            from raytracinggpu_tpu.parallel.sharding import (
+                make_mesh,
+                render_frame_sharded,
+            )
 
-        mesh = make_mesh(n_px=args.devices, n_sp=1,
-                         devices=jax.devices()[: args.devices])
-        img, stats = render_frame_sharded(tables, cfg, cam, key, mesh)
-    else:
-        img, stats = render_frame(tables, cfg, cam, key)
-    img.block_until_ready()
+            mesh = make_mesh(n_px=args.devices, n_sp=1,
+                             devices=jax.devices()[: args.devices])
+            img, stats = render_frame_sharded(tables, cfg, cam, key, mesh)
+        else:
+            img, stats = render_frame(tables, cfg, cam, key)
+        img.block_until_ready()
+        return img, stats
+
+    if args.profile:
+        run()  # compile outside the trace
+    t0 = time.perf_counter()
+    with device_trace(args.profile):
+        img, stats = run()
     wall = time.perf_counter() - t0
+    if args.profile:
+        print(f"profiler trace -> {args.profile} (view with tensorboard)")
 
     out = args.out or f"image_{args.preset}.png"
     write_png(out, tonemap(np.asarray(img)))
@@ -187,6 +196,8 @@ def main(argv=None) -> int:
     pr = sub.add_parser("render", help="single-frame render to PNG")
     _add_common(pr)
     pr.add_argument("--out", default=None)
+    pr.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the render to DIR")
 
     pt = sub.add_parser("realtime", help="progressive loop with circulating light")
     _add_common(pt)

@@ -64,6 +64,9 @@ class TriTables(NamedTuple):
     na: Vec3
     nb: Vec3
     nc: Vec3
+    cornersT: jnp.ndarray  # (Tp, 16): [na, nb, nc, ng, pad] — winner-normal
+                           # recovery gathers one row per ray instead of 12
+                           # separate (R,)-scale gathers
     n_tri: int
 
 
@@ -116,12 +119,24 @@ def build_tri_tables(
         v = np.pad(np.asarray(v, np.float32), ((0, Tp - T), (0, 0)))
         return Vec3(v[:, 0], v[:, 1], v[:, 2])
 
+    def padn(v):
+        if v is None:
+            return np.zeros((Tp, 3), np.float32)
+        return np.pad(np.asarray(v, np.float32), ((0, Tp - T), (0, 0)))
+
+    corners = np.zeros((Tp, 16), np.float32)
+    corners[:, 0:3] = padn(na)
+    corners[:, 3:6] = padn(nb)
+    corners[:, 6:9] = padn(nc)
+    corners[:, 9:12] = ng
+
     return TriTables(
         mt=m,
         ng=Vec3(ng[:, 0].copy(), ng[:, 1].copy(), ng[:, 2].copy()),
         na=vec(na),
         nb=vec(nb),
         nc=vec(nc),
+        cornersT=corners,
         n_tri=T,
     )
 
@@ -229,17 +244,19 @@ def intersect_tris_dense(
 def geometric_normal(tab: TriTables, hit: TriHit) -> Vec3:
     """Unnormalized geometric normal of the winning triangle (the reference
     returns cross(e1,e2) of the best hit, normalized afterwards:
-    global_launcher.cu:270-282)."""
-    return Vec3(tab.ng.x[hit.idx], tab.ng.y[hit.idx], tab.ng.z[hit.idx])
+    global_launcher.cu:270-282).  One (R, 16) row gather."""
+    rows = tab.cornersT[hit.idx]
+    return Vec3(rows[:, 9], rows[:, 10], rows[:, 11])
 
 
 def smooth_normal(tab: TriTables, hit: TriHit) -> Vec3:
     """Phong-interpolated vertex normal at the hit, matching
     get_smooth_normal (realtime_render.cu:221-245): alpha = 1 - beta - gamma,
-    N = alpha*Na + beta*Nb + gamma*Nc, normalized."""
+    N = alpha*Na + beta*Nb + gamma*Nc, normalized.  One row gather."""
     alpha = 1.0 - hit.beta - hit.gamma
-    na = Vec3(tab.na.x[hit.idx], tab.na.y[hit.idx], tab.na.z[hit.idx])
-    nb = Vec3(tab.nb.x[hit.idx], tab.nb.y[hit.idx], tab.nb.z[hit.idx])
-    nc = Vec3(tab.nc.x[hit.idx], tab.nc.y[hit.idx], tab.nc.z[hit.idx])
+    rows = tab.cornersT[hit.idx]
+    na = Vec3(rows[:, 0], rows[:, 1], rows[:, 2])
+    nb = Vec3(rows[:, 3], rows[:, 4], rows[:, 5])
+    nc = Vec3(rows[:, 6], rows[:, 7], rows[:, 8])
     n = na * alpha + nb * hit.beta + nc * hit.gamma
     return n
