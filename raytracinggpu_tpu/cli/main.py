@@ -40,6 +40,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=1,
                    help="shard across N devices ((N,1) px-mesh)")
+    p.add_argument("--obj", default=None, metavar="PATH",
+                   help="render a custom OBJ mesh instead of the preset cat")
+    p.add_argument("--obj-scale", type=float, default=None,
+                   help="uniform scale applied to the custom OBJ")
+    p.add_argument("--obj-offset", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--bvh-builder", default="reference",
+                   choices=["reference", "lbvh"],
+                   help="acceleration-structure builder")
 
 
 def _build(args):
@@ -56,7 +65,31 @@ def _build(args):
         over["traversal"] = args.traversal
     if args.precision:
         over["mxu_precision"] = args.precision
-    return build_preset(args.preset, **over)
+
+    mesh = None
+    builder = getattr(args, "bvh_builder", "reference")
+    if getattr(args, "obj", None):
+        # Custom mesh in place of the cat (beyond-reference capability: the
+        # reference hardcodes its scene in every main()).
+        from raytracinggpu_tpu.scene.mesh import build_mesh, rescale
+        from raytracinggpu_tpu.scene.obj import read_obj
+
+        obj = read_obj(args.obj)
+        if args.obj_scale is not None:
+            obj.vertices = rescale(obj.vertices, args.obj_scale, args.obj_offset)
+        mesh = build_mesh(obj, builder=builder)
+    elif builder != "reference":
+        from raytracinggpu_tpu.scene.mesh import build_mesh, rescale
+        from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH, read_obj
+        from raytracinggpu_tpu.scene.presets import _MESH_TRANSFORM
+
+        if args.preset in _MESH_TRANSFORM:
+            embed, s, off = _MESH_TRANSFORM[args.preset]
+            obj = read_obj(CAT_OBJ_PATH, embed_transform=embed)
+            if s is not None:
+                obj.vertices = rescale(obj.vertices, s, off)
+            mesh = build_mesh(obj, builder=builder)
+    return build_preset(args.preset, mesh=mesh, **over)
 
 
 def cmd_render(args) -> int:
