@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from raytracinggpu_tpu.core.vec import Vec3
 from raytracinggpu_tpu.render.pipeline import Camera, render_rows
 from raytracinggpu_tpu.scene.scene import RenderConfig, SceneTables
 

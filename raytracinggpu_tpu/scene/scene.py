@@ -12,7 +12,7 @@ as the reference's addObject ordering).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, NamedTuple
 
 import jax
@@ -48,17 +48,6 @@ class BVHTables(NamedTuple):
     mx: Vec3
 
 
-class ClusterTables(NamedTuple):
-    """Cluster-cut view for the culled MXU mode: K clusters of `cap`
-    triangles each (padded), with per-cluster AABBs; `mt` is the blocked MT
-    feature matrix (K, 10, 4, cap)."""
-
-    mn: Vec3  # (K,)
-    mx: Vec3
-    mt: jnp.ndarray
-    base: jnp.ndarray  # (K,) start of each cluster in the padded tri tables
-
-
 class SceneTables(NamedTuple):
     """Everything the integrator needs on device (a single pytree)."""
 
@@ -66,7 +55,6 @@ class SceneTables(NamedTuple):
     materials: Materials
     mesh: TriTables | None
     bvh: BVHTables | None
-    clusters: ClusterTables | None
     pallas_mesh: Any  # PallasMeshTables | None (fused-kernel tables)
     L: Vec3          # point light position (scalars)
     intensity: Any   # light intensity (scalar)
@@ -148,7 +136,6 @@ def build_scene_tables(
 
     mesh_tables = None
     bvh_tables = None
-    cl_tables = None
     pallas_tables = None
     if mesh is not None:
         pad_to = _round_up(mesh.n_tri, tri_block)
@@ -168,7 +155,6 @@ def build_scene_tables(
             mn=Vec3(*[jnp.asarray(b.mn[:, i]) for i in range(3)]),
             mx=Vec3(*[jnp.asarray(b.mx[:, i]) for i in range(3)]),
         )
-        cl_tables = _build_cluster_tables(mesh)
 
     tables = SceneTables(
         spheres=SphereTable.from_list(spheres),
@@ -180,7 +166,6 @@ def build_scene_tables(
         ),
         mesh=mesh_tables,
         bvh=bvh_tables,
-        clusters=cl_tables,
         pallas_mesh=pallas_tables,
         L=Vec3.const(*np.asarray(L, np.float32)),
         intensity=jnp.float32(intensity),
@@ -189,23 +174,3 @@ def build_scene_tables(
     # argument would otherwise be re-uploaded host->device on EVERY call
     # (tens of ms per frame through a remote-TPU tunnel).
     return jax.device_put(tables)
-
-
-def _build_cluster_tables(mesh: MeshData) -> ClusterTables:
-    """Per-cluster padded MT matrices for the culled MXU mode."""
-    cl = mesh.clusters
-    K = len(cl.starts)
-    cap = _round_up(max(cl.cap, 8), 8)
-    mts = np.zeros((K, 10, 4, cap), np.float32)
-    bases = np.zeros(K, np.int32)
-    for k in range(K):
-        s, e = int(cl.starts[k]), int(cl.ends[k])
-        tt = build_tri_tables(mesh.A[s:e], mesh.B[s:e], mesh.C[s:e], pad_to=cap)
-        mts[k] = tt.mt
-        bases[k] = s
-    return ClusterTables(
-        mn=Vec3(cl.mn[:, 0].copy(), cl.mn[:, 1].copy(), cl.mn[:, 2].copy()),
-        mx=Vec3(cl.mx[:, 0].copy(), cl.mx[:, 1].copy(), cl.mx[:, 2].copy()),
-        mt=jnp.asarray(mts),
-        base=jnp.asarray(bases),
-    )
