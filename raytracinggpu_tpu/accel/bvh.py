@@ -26,8 +26,9 @@ derive two TPU-native views:
   ``int s[30]`` stack (optimized.cu:246) with branch-free control flow all
   lanes can execute in lockstep.
 
-A level-cut of the same tree produces the *cluster tables* used by the
-MXU-dense culled intersection mode (ops/cluster.py).
+A level-cut helper (``cluster_cut``) partitions the same tree into
+contiguous bounded-size clusters — groundwork for future pair-binning
+traversal modes (see PERF_NOTES.md).
 """
 from __future__ import annotations
 

@@ -34,8 +34,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--spp", dest="spp_flag", type=int, default=None)
     p.add_argument("--bounces", dest="bounces_flag", type=int, default=None)
     p.add_argument("--traversal", default=None,
-                   choices=["dense", "cluster", "bvh"],
-                   help="mesh intersection mode (the ablation axis)")
+                   choices=["pallas", "dense", "bvh"],
+                   help="mesh intersection mode (pallas = production kernel; "
+                        "the ablation axis)")
     p.add_argument("--precision", default=None, choices=["highest", "default"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=1,
@@ -154,10 +155,11 @@ def cmd_realtime(args) -> int:
         raw_pipe=raw,
         angular_speed=args.light_speed,
     )
+    info = sys.stderr if args.raw else sys.stdout
     if args.checkpoint:
         save_state(args.checkpoint, state)
-        print(f"checkpoint -> {args.checkpoint}")
-    print(json.dumps(summary))
+        print(f"checkpoint -> {args.checkpoint}", file=info)
+    print(json.dumps(summary), file=info)
     return 0
 
 
@@ -178,8 +180,14 @@ def _interactive_loop(tables, cfg, args) -> int:
     from raytracinggpu_tpu.render.image_io import write_png
     from raytracinggpu_tpu.render.realtime import init_state, on_key, step
 
+    import os
+
     keymap = {"h": "left", "l": "right", "k": "up", "j": "down"}
-    out = args.out_dir or "live.png"
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        out = os.path.join(args.out_dir, "live.png")
+    else:
+        out = "live.png"
     state = init_state(cfg, tables, seed=args.seed)
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)

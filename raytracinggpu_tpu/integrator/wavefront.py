@@ -92,7 +92,10 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
         elif cfg.traversal == "bvh":
             from raytracinggpu_tpu.ops.bvh_traverse import intersect_tris_bvh
 
-            mh = intersect_tris_bvh(O, u, scene.mesh, scene.bvh, cfg.eps_leaf)
+            mh = intersect_tris_bvh(
+                O, u, scene.mesh, scene.bvh, cfg.eps_leaf,
+                max_leaf_tris=cfg.bvh_max_leaf,
+            )
         else:
             raise ValueError(f"unknown traversal mode {cfg.traversal!r}")
 

@@ -15,10 +15,11 @@ acceleration structure and as the oracle for the tiled pallas kernel; the
 gathers (node fields by per-lane node id, triangles by leaf range) make it
 memory-bound on TPU, so the pallas tile kernel is the production path.
 Leaf triangle tests reuse the factorized Moller-Trumbore feature matrix
-(ops/triangle.py) gathered per lane, bounded by the build's leaf size
-(< 2*LEAF_MIN_TRIS triangles per leaf; reference guarantees < 5 only on
-the splittable side, so leaves can hold up to 2*5-1... the builder's
-actual bound is checked at table build time).
+(ops/triangle.py) gathered per lane, statically unrolled to
+``max_leaf_tris`` (RenderConfig.bvh_max_leaf).  Degenerate midpoint
+partitions can produce leaves of any size; build_scene_tables warns when a
+mesh's worst leaf exceeds the default bound (the lbvh builder bounds
+leaves at 8).
 """
 from __future__ import annotations
 
@@ -35,7 +36,7 @@ INF = 1e9 + 9
 # triangles remain OR the midpoint partition degenerates (optimized.cu:503)
 # — degenerate partitions can leave large leaves (the cat's worst leaf holds
 # 73 triangles), faithfully reproduced here.
-MAX_LEAF_TRIS = 80
+MAX_LEAF_TRIS = 96
 
 
 def intersect_tris_bvh(

@@ -97,8 +97,12 @@ def build_pallas_tables(A, B, C, pad_to: int | None = None) -> PallasMeshTables:
     f[15] = np.einsum("td,td->t", Ap, ng)
 
     n_tiles = Tp // TILE_T
-    # Row n_tiles is the whole-mesh root box (kernel's block-level early-out).
-    aabb = np.zeros((n_tiles + 1, 8), np.float32)
+    if n_tiles > 32766:
+        raise ValueError(
+            f"mesh too large for the tiled kernel ({n_tiles} tiles); "
+            "int16 tile lists support up to 32766 tiles (~4.2M triangles)"
+        )
+    aabb = np.zeros((n_tiles, 8), np.float32)
     for j in range(n_tiles):
         s, e = j * TILE_T, min((j + 1) * TILE_T, T)
         if s >= T:
@@ -109,9 +113,6 @@ def build_pallas_tables(A, B, C, pad_to: int | None = None) -> PallasMeshTables:
         pts = np.concatenate([A[s:e], B[s:e], C[s:e]], axis=0)
         aabb[j, 0:3] = pts.min(axis=0)
         aabb[j, 3:6] = pts.max(axis=0)
-    pts = np.concatenate([A, B, C], axis=0)
-    aabb[n_tiles, 0:3] = pts.min(axis=0)
-    aabb[n_tiles, 3:6] = pts.max(axis=0)
     return PallasMeshTables(
         fields=jnp.asarray(f), fieldsT=jnp.asarray(f.T.copy()),
         tile_aabb=jnp.asarray(aabb), n_tiles=n_tiles,
@@ -245,12 +246,19 @@ def _closest_hit_kernel(eps_leaf, track_idx,
         t_min = jnp.min(t_run[:], axis=1)                   # (TILE_T,)
         t_ref[out_row:out_row + 1, :] = t_min.reshape(1, TILE_T)
         if track_idx:
+            # Lowest triangle index wins exact-t ties, matching the
+            # reference's ascending scan with strict `<`
+            # (global_launcher.cu:268-278); tiles already process in
+            # ascending id order with a strict running-min update.
             lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_T, TILE_T), 1)
             win = t_run[:] == t_min[:, None]
-            idx = jnp.max(
-                jnp.where(win, tile_run[:] * TILE_T + lane, -1), axis=1
+            big = jnp.int32(2**30)
+            idx = jnp.min(
+                jnp.where(win, tile_run[:] * TILE_T + lane, big), axis=1
             )
-            idx_ref[out_row:out_row + 1, :] = jnp.maximum(idx, 0).reshape(1, TILE_T)
+            idx_ref[out_row:out_row + 1, :] = (
+                jnp.where(idx == big, 0, idx).reshape(1, TILE_T)
+            )
 
 
 def _shadow_kernel(eps_leaf, lists_ref, rf_ref, tri_ref, t_ref, t_run):
@@ -401,12 +409,14 @@ def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
     if cap is not None:
         hit = hit & (enter <= cap[None, :])
     blk = hit.reshape(n_tiles, -1, SUBG).any(axis=2).T       # (n_subgroups, nt)
-    # One merged int8 row per subgroup: [count, id0, id1, ...].  The
+    # One merged row per subgroup: [count, id0, id1, ...].  The
     # scalar-prefetch operands live in SMEM where every row pads its last
     # dim to 128 elements, so separate count/ids arrays overflow the ~1 MB
-    # budget for large fused batches.
-    order = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int8)
-    n_active = blk.sum(axis=1, dtype=jnp.int8)[:, None]
+    # budget for large fused batches.  int8 holds tile ids up to 126; larger
+    # meshes (possible via the --obj CLI) widen to int16.
+    dt = jnp.int8 if n_tiles <= 126 else jnp.int16
+    order = jnp.argsort(~blk, axis=1, stable=True).astype(dt)
+    n_active = blk.sum(axis=1, dtype=dt)[:, None]
     return jnp.concatenate([n_active, order], axis=1)
 
 

@@ -221,10 +221,16 @@ def intersect_tris_dense(
         # take_along_axis: pure VPU ops, no row gathers (measured ~1.7x
         # faster end-to-end on v5e, bit-identical results).
         t_loc = jnp.min(t, axis=1)
-        m = t == t_loc[:, None]
+        # Lowest index wins exact-t ties (reference's ascending strict-<
+        # scan, global_launcher.cu:268-278), and beta/gamma come from the
+        # same winning triangle.
+        j = jnp.min(
+            jnp.where(t == t_loc[:, None], iota[None, :], block_tris), axis=1
+        )
+        m = iota[None, :] == j[:, None]
         b_loc = jnp.max(jnp.where(m, beta, -jnp.inf), axis=1)
         g_loc = jnp.max(jnp.where(m, gamma, -jnp.inf), axis=1)
-        j = jnp.max(jnp.where(m, iota[None, :], -1), axis=1)
+        j = jnp.minimum(j, block_tris - 1)
         better = t_loc < t_best
         carry = (
             jnp.where(better, t_loc, t_best),

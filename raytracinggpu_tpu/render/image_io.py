@@ -29,6 +29,16 @@ def tonemap(img: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def tonemap_device(img):
+    """jnp (on-device) variant of ``tonemap`` for jitted frame loops — same
+    formula, uint8 out."""
+    import jax.numpy as jnp
+
+    return jnp.minimum(
+        jnp.power(jnp.maximum(img, 0.0), 1.0 / 2.2), 255.0
+    ).astype(jnp.uint8)
+
+
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
         struct.pack(">I", len(data))

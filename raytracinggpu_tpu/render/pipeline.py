@@ -162,9 +162,10 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
     whole batch in one chunk (fewer dispatches, better grid pipelining).
     """
     R = u.x.shape[0]
-    # pallas: one chunk up to 2^18 rays (scalar-prefetch lists must fit SMEM);
+    # pallas: chunks up to 2^17 rays so the scalar-prefetch tile lists fit
+    # the ~1MB SMEM budget even with int16 ids (large --obj meshes);
     # dense: cfg.ray_chunk bounds the matmul intermediates.
-    chunk = min(R, 262144) if cfg.traversal == "pallas" else min(cfg.ray_chunk, R)
+    chunk = min(R, 131072) if cfg.traversal == "pallas" else min(cfg.ray_chunk, R)
     # uniforms (D, 2, R) -> (n_chunks, D, 2, chunk)
     un = jnp.moveaxis(uniforms, -1, 0)       # (R, D, 2)
     un = _pad_chunks(un, chunk)              # (nc, chunk, D, 2)

@@ -106,12 +106,11 @@ def step(
         [c.reshape(cfg.height, cfg.width) for c in col], axis=-1
     )
 
+    from raytracinggpu_tpu.render.image_io import tonemap_device
+
     accum = state.accum + frame
     frames = state.frames + 1
-    display = jnp.minimum(
-        jnp.power(jnp.maximum(accum / frames.astype(jnp.float32), 0.0), 1.0 / 2.2),
-        255.0,
-    ).astype(jnp.uint8)
+    display = tonemap_device(accum / frames.astype(jnp.float32))
 
     new_state = state._replace(accum=accum, frames=frames, light_angle=angle)
     return new_state, display
@@ -208,7 +207,13 @@ def run_loop(
         if raw_pipe is not None:
             raw_pipe.write(np.asarray(display).tobytes())
         if print_every and (i + 1) % print_every == 0:
-            print(f"frame {i+1}: {dt*1000:.1f} ms ({1.0/dt:.1f} FPS)")
+            import sys
+
+            # Never interleave text with a raw RGB24 stdout stream.
+            print(
+                f"frame {i+1}: {dt*1000:.1f} ms ({1.0/dt:.1f} FPS)",
+                file=sys.stderr if raw_pipe is not None else sys.stdout,
+            )
     steady = times[1:] or times
     return state, {
         "frames": n_frames,

@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from raytracinggpu_tpu.accel.bvh import ClusterCut, FlatBVH, build_bvh, cluster_cut
+from raytracinggpu_tpu.accel.bvh import FlatBVH, build_bvh
 from raytracinggpu_tpu.scene.obj import ObjMesh, read_obj
 
 
@@ -45,7 +45,6 @@ class MeshData:
     nb: np.ndarray
     nc: np.ndarray
     bvh: FlatBVH
-    clusters: ClusterCut
     n_vertices: int
     n_normals: int
 
@@ -56,7 +55,6 @@ class MeshData:
 
 def build_mesh(
     obj: ObjMesh,
-    cluster_max_tris: int = 64,
     builder: str = "reference",
 ) -> MeshData:
     """Dereference indices, build the BVH over the triangle soup, and reorder
@@ -95,7 +93,6 @@ def build_mesh(
         nb=nb[o].copy(),
         nc=nc[o].copy(),
         bvh=bvh,
-        clusters=cluster_cut(bvh, cluster_max_tris),
         n_vertices=V.shape[0],
         n_normals=obj.normals.shape[0],
     )
@@ -106,7 +103,6 @@ def load_cat_mesh(
     embed_transform: bool,
     scale: float | None,
     offset,
-    cluster_max_tris: int = 64,
 ) -> MeshData:
     """Load + transform the cat mesh per launcher config (SURVEY.md §2.7):
     cpu: embed only; global/optimized: embed + rescale(0.6, (0,-4,0));
@@ -114,4 +110,4 @@ def load_cat_mesh(
     obj = read_obj(path, embed_transform=embed_transform)
     if scale is not None:
         obj.vertices = rescale(obj.vertices, scale, offset)
-    return build_mesh(obj, cluster_max_tris)
+    return build_mesh(obj)

@@ -92,6 +92,12 @@ class RenderConfig:
                                 # bigger groups = larger ray batches per
                                 # kernel dispatch, more VPU work in flight)
     tri_block: int = 512        # triangle block for the dense scan
+    bvh_max_leaf: int = 96      # static leaf-unroll bound for traversal
+                                # mode 'bvh' (degenerate midpoint partitions
+                                # can leave big leaves; the cat's worst is
+                                # 73 — build_scene_tables warns when a mesh
+                                # exceeds this, and the lbvh builder bounds
+                                # leaves at 8)
     mxu_precision: str = "highest"  # highest | default (bf16 fast path)
 
     @property
@@ -146,6 +152,17 @@ def build_scene_tables(
 
         pallas_tables = build_pallas_tables(mesh.A, mesh.B, mesh.C, pad_to=pad_to)
         b = mesh.bvh
+        leaves = b.right == -1
+        max_leaf = int((b.tri_end - b.tri_start)[leaves].max())
+        if max_leaf > 96:
+            import warnings
+
+            warnings.warn(
+                f"BVH has a {max_leaf}-triangle leaf (> the default "
+                "bvh_max_leaf=96): traversal='bvh' would skip triangles — "
+                "raise RenderConfig.bvh_max_leaf or use builder='lbvh'",
+                stacklevel=2,
+            )
         bvh_tables = BVHTables(
             left=jnp.asarray(b.left),
             right=jnp.asarray(b.right),

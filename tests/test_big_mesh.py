@@ -1,0 +1,67 @@
+"""Large-mesh paths: >126 tiles forces int16 tile lists (the int8 fast path
+would silently wrap), exercised via the pallas kernel in interpret mode."""
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinggpu_tpu.core.vec import Vec3
+from raytracinggpu_tpu.ops.pallas_trace import (
+    TILE_T,
+    _block_active_tiles,
+    build_pallas_tables,
+    intersect_tris_pallas,
+)
+from raytracinggpu_tpu.ops.sphere import INF
+from raytracinggpu_tpu.ops.triangle import build_tri_tables, intersect_tris_dense
+
+
+def _big_mesh(rng, n=17000):
+    # Random small triangles spread through a volume -> ~133 tiles.
+    A = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    B = A + rng.standard_normal((n, 3)).astype(np.float32) * 0.5
+    C = A + rng.standard_normal((n, 3)).astype(np.float32) * 0.5
+    return A, B, C
+
+
+def test_int16_lists_for_many_tiles(rng):
+    A, B, C = _big_mesh(rng)
+    tab = build_pallas_tables(A, B, C)
+    n_tiles = tab.fields.shape[1] // TILE_T
+    assert n_tiles > 126
+
+    m = 256
+    o = rng.uniform(-25, 25, (m, 3)).astype(np.float32)
+    d = rng.standard_normal((m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    lists = _block_active_tiles(O, u, tab.tile_aabb, n_tiles)
+    assert lists.dtype == jnp.int16
+
+    ph = intersect_tris_pallas(O, u, tab, eps_leaf=1e-4, interpret=True)
+    pad = -(-len(A) // 512) * 512
+    dh = intersect_tris_dense(
+        O, u, build_tri_tables(A, B, C, pad_to=pad), eps_leaf=1e-4
+    )
+    t_p, t_d = np.asarray(ph.t), np.asarray(dh.t)
+    np.testing.assert_array_equal(t_p < INF, t_d < INF)
+    hit = t_p < INF
+    np.testing.assert_allclose(t_p[hit], t_d[hit], rtol=1e-5, atol=1e-5)
+
+
+def test_tie_break_lowest_index(rng):
+    """Coincident duplicate triangles: the lowest index must win, matching
+    the reference's ascending strict-< scan (global_launcher.cu:268-278)."""
+    tri = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    A = np.stack([tri[0]] * 6)
+    B = np.stack([tri[1]] * 6)
+    C = np.stack([tri[2]] * 6)
+    O = Vec3(*(jnp.asarray(np.full(8, v, np.float32)) for v in (0.0, 0.0, 5.0)))
+    u = Vec3(*(jnp.asarray(np.full(8, v, np.float32)) for v in (0.0, 0.0, -1.0)))
+
+    dh = intersect_tris_dense(O, u, build_tri_tables(A, B, C, pad_to=512), 1e-4)
+    assert (np.asarray(dh.idx) == 0).all()
+
+    tab = build_pallas_tables(A, B, C)
+    ph = intersect_tris_pallas(O, u, tab, 1e-4, interpret=True)
+    assert (np.asarray(ph.idx) == 0).all()
