@@ -11,16 +11,21 @@ per-lane stack — hostile to an 8x128 SIMD VPU — the kernel exploits the
   each tile's AABB is tight because neighboring triangles are spatially
   close — the tile table IS the acceleration structure, a two-level BVH
   with SIMD-width leaves,
-- one kernel program owns a block of 128 rays; for every tile it slab-tests
-  the tile AABB for all rays (a handful of (128,1) VPU ops) and skips the
-  tile for the whole block when no ray can hit it (`pl.when` — block-uniform
-  control flow, the TPU analog of warp-coherent traversal),
-- surviving tiles run Moller-Trumbore *elementwise* on the (128 rays x 128
-  tris) tile: unlike the XLA matmul formulation (ops/triangle.py) there is
-  no contraction-dim padding waste and every intermediate stays in
+- tile culling runs vectorized in XLA *outside* the kernel: per-ray slab
+  tests reduced to per-64-ray-subgroup active-tile lists (in-kernel
+  vector->scalar reductions and per-tile branches measured ~10x the
+  triangle math they guard),
+- each 1024-ray kernel program walks its subgroups' pre-culled lists with
+  SMEM-driven fori_loops (scalar prefetch) — the block-uniform analog of
+  warp-coherent traversal, with per-ray caps (nearest sphere hit, shadow
+  |L-P|) tightening the lists for free,
+- active tiles run Moller-Trumbore *elementwise* on (64 rays x 128 tris)
+  ops: unlike the XLA matmul formulation (ops/triangle.py) there is no
+  contraction-dim padding waste and every intermediate stays in
   VMEM/registers — zero HBM traffic between intersection and reduction,
-- the running (t, tile) winner is tracked per lane and reduced once at the
-  end (min + masked-iota argmin, no gathers).
+- the running (t, tile) winner is tracked per lane and reduced once per
+  128-ray output row (min + masked-iota lowest-index argmin, no gathers);
+  the shadow variant drops winner tracking entirely.
 
 Per-triangle constants (16 floats: Ng, e2 x A, e2, e1 x A, e1, A.Ng) are
 precomputed on host and stay VMEM-resident across the whole grid (constant
@@ -200,8 +205,10 @@ def _closest_hit_kernel(eps_leaf, track_idx,
                      Ox=Ox, Oy=Oy, Oz=Oz, sg=sg, scr=scr):
                 tid = lists_ref[b * n_sg + sg, 1 + i].astype(jnp.int32)
                 off = pl.multiple_of(tid * TILE_T, TILE_T)
-                sl = pl.ds(off, TILE_T)
-                row = lambda k: tri_ref[k:k + 1, sl]        # (1, TILE_T)
+                # One dynamic slice for the whole tile (16 per-row dynamic
+                # slices cost 16x the scalar address arithmetic).
+                tile = tri_ref[:, pl.ds(off, TILE_T)]       # (16, TILE_T)
+                row = lambda k: tile[k:k + 1, :]            # (1, TILE_T)
                 ngx, ngy, ngz = row(0), row(1), row(2)
                 c2x, c2y, c2z = row(3), row(4), row(5)
                 e2x, e2y, e2z = row(6), row(7), row(8)
@@ -287,8 +294,8 @@ def _shadow_kernel(eps_leaf, lists_ref, rf_ref, tri_ref, t_ref, t_run):
                      Ox=Ox, Oy=Oy, Oz=Oz, sg=sg, scr=scr):
                 tid = lists_ref[b * n_sg + sg, 1 + i].astype(jnp.int32)
                 off = pl.multiple_of(tid * TILE_T, TILE_T)
-                sl = pl.ds(off, TILE_T)
-                row = lambda k: tri_ref[k:k + 1, sl]
+                tile = tri_ref[:, pl.ds(off, TILE_T)]       # (16, TILE_T)
+                row = lambda k: tile[k:k + 1, :]
                 denom = ux * row(0) + uy * row(1) + uz * row(2)
                 bnum = (ux * row(3) + uy * row(4) + uz * row(5)) - (
                     wx * row(6) + wy * row(7) + wz * row(8)
