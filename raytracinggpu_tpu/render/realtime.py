@@ -79,19 +79,7 @@ def orbit_light(scene: SceneTables, angle) -> SceneTables:
     return scene._replace(L=L)
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
-def step(
-    scene: SceneTables,
-    cfg: RenderConfig,
-    state: RenderState,
-    angular_speed=np.float32(1.0),
-    dt=np.float32(2e-2),
-):
-    """One progressive frame: orbit the light, render spp samples, accumulate,
-    and emit the gamma-packed display image (uint8).
-
-    Returns (new_state, display_u8 (H, W, 3)).
-    """
+def _step_impl(scene, cfg, state, angular_speed, dt):
     angle = state.light_angle + angular_speed * dt
     scene_t = orbit_light(scene, angle)
     cam = Camera.from_yaw_pitch(state.cam_c, state.yaw, state.pitch)
@@ -114,6 +102,44 @@ def step(
 
     new_state = state._replace(accum=accum, frames=frames, light_angle=angle)
     return new_state, display
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
+def step(
+    scene: SceneTables,
+    cfg: RenderConfig,
+    state: RenderState,
+    angular_speed=np.float32(1.0),
+    dt=np.float32(2e-2),
+):
+    """One progressive frame: orbit the light, render spp samples, accumulate,
+    and emit the gamma-packed display image (uint8).
+
+    Returns (new_state, display_u8 (H, W, 3)).
+    """
+    return _step_impl(scene, cfg, state, angular_speed, dt)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(3,))
+def steps(
+    scene: SceneTables,
+    cfg: RenderConfig,
+    n_frames: int,
+    state: RenderState,
+    angular_speed=np.float32(1.0),
+    dt=np.float32(2e-2),
+):
+    """Render n_frames progressive frames in ONE dispatch (lax.scan) —
+    amortizes the per-dispatch host overhead (~29 ms on tunneled runtimes,
+    PERF_NOTES.md) for offline animation / streaming throughput.
+
+    Returns (state, frames_u8 (n, H, W, 3))."""
+
+    def body(st, _):
+        st, disp = _step_impl(scene, cfg, st, angular_speed, dt)
+        return st, disp
+
+    return jax.lax.scan(body, state, None, length=n_frames)
 
 
 def move_object(scene: SceneTables, index: int, delta, dt: float = 0.2) -> SceneTables:

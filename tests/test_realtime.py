@@ -121,3 +121,17 @@ def test_run_loop_smoke(tmp_path):
     assert sorted(os.listdir(tmp_path)) == [
         "frame_00000.png", "frame_00001.png", "frame_00002.png",
     ]
+
+
+def test_steps_batch_matches_sequential():
+    from raytracinggpu_tpu.render.realtime import steps
+
+    cfg, tables = _rt_scene()
+    st_a = init_state(cfg, tables, seed=4)
+    st_b = init_state(cfg, tables, seed=4)
+    st_a, frames = steps(tables, cfg, 3, st_a)
+    assert frames.shape == (3, 16, 16, 3)
+    for i in range(3):
+        st_b, disp = step(tables, cfg, st_b)
+        np.testing.assert_array_equal(np.asarray(frames[i]), np.asarray(disp))
+    assert int(st_a.frames) == int(st_b.frames) == 3
