@@ -20,4 +20,5 @@ reference renderer souhhcong/RaytracingGPU (see /root/reference):
 
 __version__ = "0.1.0"
 
+from raytracinggpu_tpu.api import Renderer  # noqa: F401
 from raytracinggpu_tpu.core.vec import Vec3  # noqa: F401

@@ -120,7 +120,7 @@ def step(
     return _step_impl(scene, cfg, state, angular_speed, dt)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(1, 2, 6), donate_argnums=(3,))
 def steps(
     scene: SceneTables,
     cfg: RenderConfig,
@@ -128,15 +128,24 @@ def steps(
     state: RenderState,
     angular_speed=np.float32(1.0),
     dt=np.float32(2e-2),
+    reset_each: bool = False,
 ):
     """Render n_frames progressive frames in ONE dispatch (lax.scan) —
     amortizes the per-dispatch host overhead (~29 ms on tunneled runtimes,
     PERF_NOTES.md) for offline animation / streaming throughput.
 
+    reset_each: clear the accumulator after every emitted frame (crisp
+    animation of the moving light) instead of progressive convergence.
+
     Returns (state, frames_u8 (n, H, W, 3))."""
 
     def body(st, _):
         st, disp = _step_impl(scene, cfg, st, angular_speed, dt)
+        if reset_each:
+            st = st._replace(
+                accum=jnp.zeros_like(st.accum),
+                frames=jnp.zeros_like(st.frames),
+            )
         return st, disp
 
     return jax.lax.scan(body, state, None, length=n_frames)

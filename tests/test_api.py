@@ -1,0 +1,35 @@
+"""High-level Renderer facade."""
+import numpy as np
+
+from raytracinggpu_tpu import Renderer
+
+
+def test_render_and_save(tmp_path):
+    r = Renderer("showcase", width=16, height=16, spp=1, max_depth=2)
+    img = r.render(seed=0)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    hdr, stats = r.render_hdr(seed=0)
+    assert hdr.shape == (16, 16, 3) and hdr.dtype == np.float32
+    assert int(np.asarray(stats.hit)[0]) == 256
+    p = tmp_path / "api.png"
+    r.save(str(p))
+    assert p.exists()
+
+
+def test_animate_batched_matches_single():
+    r = Renderer("showcase", width=16, height=16, spp=1, max_depth=1)
+    a = list(r.animate(4, seed=2, batch=1))
+    b = list(r.animate(4, seed=2, batch=2))
+    assert len(a) == len(b) == 4
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert a[0].shape == (16, 16, 3) and a[0].dtype == np.uint8
+
+
+def test_custom_obj(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text("v -5 -8 -5\nv 5 -8 -5\nv 0 -8 5\nf 1 2 3\n")
+    r = Renderer("array_bvh", obj_path=str(p), width=12, height=12,
+                 spp=1, max_depth=1, traversal="pallas")
+    img = r.render()
+    assert img.shape == (12, 12, 3)
