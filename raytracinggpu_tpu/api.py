@@ -40,12 +40,32 @@ class Renderer:
 
         mesh = None
         if obj_path is not None:
+            if preset == "showcase":
+                raise ValueError(
+                    "the 'showcase' preset has no mesh slot; use a mesh "
+                    "preset (e.g. 'array_bvh') with obj_path"
+                )
             from raytracinggpu_tpu.scene.mesh import build_mesh, rescale
             from raytracinggpu_tpu.scene.obj import read_obj
 
             obj = read_obj(obj_path)
-            if obj_scale is not None:
-                obj.vertices = rescale(obj.vertices, obj_scale, obj_offset)
+            if obj_scale is not None or tuple(obj_offset) != (0.0, 0.0, 0.0):
+                obj.vertices = rescale(
+                    obj.vertices,
+                    1.0 if obj_scale is None else obj_scale,
+                    obj_offset,
+                )
+            mesh = build_mesh(obj, builder=bvh_builder)
+        elif bvh_builder != "reference" and preset != "showcase":
+            # Build the preset cat with the requested accel builder.
+            from raytracinggpu_tpu.scene.mesh import build_mesh, rescale
+            from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH, read_obj
+            from raytracinggpu_tpu.scene.presets import _MESH_TRANSFORM
+
+            embed, s, off = _MESH_TRANSFORM[preset]
+            obj = read_obj(CAT_OBJ_PATH, embed_transform=embed)
+            if s is not None:
+                obj.vertices = rescale(obj.vertices, s, off)
             mesh = build_mesh(obj, builder=bvh_builder)
         self.cfg, self.scene = build_preset(
             preset, mesh=mesh, **config_overrides
@@ -84,32 +104,33 @@ class Renderer:
         (render.realtime.steps) for streaming throughput; reset_each clears
         the progressive accumulator every frame (crisp animation) instead of
         accumulating (converging still)."""
-        import jax.numpy as jnp
-
-        from raytracinggpu_tpu.render.realtime import init_state, step, steps
+        from raytracinggpu_tpu.render.realtime import (
+            init_state,
+            reset_accumulation,
+            step,
+            steps,
+        )
 
         state = init_state(self.cfg, self.scene, seed)
         speed = np.float32(light_speed)
         done = 0
         while done < n_frames:
-            if batch > 1:
-                n = min(batch, n_frames - done)
+            # A partial trailing batch would recompile the whole scanned
+            # renderer for its length; finish the remainder frame-by-frame.
+            if batch > 1 and n_frames - done >= batch:
                 state, frames = steps(
-                    self.scene, self.cfg, n, state, speed,
+                    self.scene, self.cfg, batch, state, speed,
                     reset_each=reset_each,
                 )
-                for i in range(n):
+                for i in range(batch):
                     yield np.asarray(frames[i])
+                done += batch
             else:
                 state, frame = step(self.scene, self.cfg, state, speed)
                 yield np.asarray(frame)
                 if reset_each:
-                    state = state._replace(
-                        accum=jnp.zeros_like(state.accum),
-                        frames=jnp.zeros_like(state.frames),
-                    )
-                n = 1
-            done += n
+                    state = reset_accumulation(state)
+                done += 1
 
     # -- multi-chip -------------------------------------------------------
     def render_sharded(self, seed: int = 0, mesh=None):

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytracinggpu_tpu.core.vec import Vec3
+from raytracinggpu_tpu.ops.pallas_trace import slab_enter_exit
 
 INF = 1e9 + 9
 PAIR_BLOCK = 1024  # pairs per (tile-uniform) kernel block
@@ -53,23 +54,21 @@ def per_ray_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, k_max: int, cap=None):
     (n_tiles = inactive sentinel), plus the overflow mask."""
     big = np.float32(3.4e38)
     R = O.x.shape[0]
-    enter = jnp.full((n_tiles, R), -big)
-    exit_ = jnp.full((n_tiles, R), big)
-    for ax, (Oc, uc) in enumerate(((O.x, u.x), (O.y, u.y), (O.z, u.z))):
-        rc = 1.0 / uc
-        t0 = (aabb[:n_tiles, ax, None] - Oc[None, :]) * rc[None, :]
-        t1 = (aabb[:n_tiles, 3 + ax, None] - Oc[None, :]) * rc[None, :]
-        enter = jnp.maximum(enter, jnp.minimum(t0, t1))
-        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
-    hit = (exit_ > enter) & (exit_ >= 0.0)
+    enter, exit_, hit = slab_enter_exit(O, u, aabb, n_tiles)
     if cap is not None:
         hit = hit & (enter <= cap[None, :])
 
     key = jnp.where(hit, enter, big)                    # (nt, R)
-    # k_max nearest active tiles per ray via top_k on -entry.
-    neg, idx = jax.lax.top_k(-key.T, k_max)             # (R, k_max)
+    # k nearest active tiles per ray via top_k on -entry (top_k requires
+    # k <= axis size, so small meshes clamp and pad with the sentinel).
+    k_eff = min(k_max, n_tiles)
+    neg, idx = jax.lax.top_k(-key.T, k_eff)             # (R, k_eff)
     active = neg > -big
     tiles = jnp.where(active, idx, n_tiles).astype(jnp.int32)
+    if k_eff < k_max:
+        tiles = jnp.concatenate(
+            [tiles, jnp.full((R, k_max - k_eff), n_tiles, jnp.int32)], axis=1
+        )
     overflow = hit.sum(axis=0) > k_max
     return tiles, overflow, hit
 
@@ -99,6 +98,8 @@ def build_pair_plan(
 
     # Rank of each pair within its tile: running count over the flattened
     # slot order (ray-major), one cumsum per tile in (nt, R*k) layout.
+    # NOTE: O(nt * R * k) intermediates — fine for validation; the
+    # production plan is an in-kernel binning pass (PERF_NOTES.md).
     onehot = (
         jnp.arange(n_tiles, dtype=jnp.int32)[:, None] == flat_tiles[None, :]
     ) & live[None, :]

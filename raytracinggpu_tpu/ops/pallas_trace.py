@@ -386,6 +386,28 @@ def intersect_tris_shadow(
     return t[:R] if pad else t
 
 
+def slab_enter_exit(O: Vec3, u: Vec3, aabb, n_tiles: int):
+    """Per-ray slab intervals against every tile AABB, (n_tiles, R) layout
+    (ray axis on lanes).  Branchless BoundingBox::intersect form
+    (global_launcher.cu:172-183)."""
+    big = np.float32(3.4e38)
+    enter = jnp.full((n_tiles, O.x.shape[0]), -big)
+    exit_ = jnp.full((n_tiles, O.x.shape[0]), big)
+    for ax, (Oc, uc) in enumerate(((O.x, u.x), (O.y, u.y), (O.z, u.z))):
+        rc = 1.0 / uc
+        t0 = (aabb[:n_tiles, ax, None] - Oc[None, :]) * rc[None, :]
+        t1 = (aabb[:n_tiles, 3 + ax, None] - Oc[None, :]) * rc[None, :]
+        enter = jnp.maximum(enter, jnp.minimum(t0, t1))
+        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+    # exit >= enter (NOT strict): a zero-thickness tile box (planar
+    # geometry) has enter == exit at the hit plane; culling must stay
+    # conservative — the triangle test decides actual hits.  (The
+    # reference's strict form, global_launcher.cu:182, would skip flat
+    # nodes; its BVH never visibly produces one, but custom planar OBJs do.)
+    hit = (exit_ >= enter) & (exit_ >= 0.0)
+    return enter, exit_, hit
+
+
 def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
     """Vectorized (XLA) per-block tile culling.
 
@@ -403,16 +425,7 @@ def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
 
     Returns int8 rows [count, id0, id1, ...] per SUBG-ray subgroup.
     """
-    big = np.float32(3.4e38)
-    enter = jnp.full((n_tiles, O.x.shape[0]), -big)
-    exit_ = jnp.full((n_tiles, O.x.shape[0]), big)
-    for ax, (Oc, uc) in enumerate(((O.x, u.x), (O.y, u.y), (O.z, u.z))):
-        rc = 1.0 / uc
-        t0 = (aabb[:n_tiles, ax, None] - Oc[None, :]) * rc[None, :]
-        t1 = (aabb[:n_tiles, 3 + ax, None] - Oc[None, :]) * rc[None, :]
-        enter = jnp.maximum(enter, jnp.minimum(t0, t1))
-        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
-    hit = (exit_ > enter) & (exit_ >= 0.0)                   # (nt, R)
+    enter, exit_, hit = slab_enter_exit(O, u, aabb, n_tiles)
     if cap is not None:
         hit = hit & (enter <= cap[None, :])
     blk = hit.reshape(n_tiles, -1, SUBG).any(axis=2).T       # (n_subgroups, nt)

@@ -45,6 +45,9 @@ class RenderState(NamedTuple):
 
     accum: jnp.ndarray       # (H, W, 3) radiance sum
     frames: jnp.ndarray      # () int32, number of accumulated frames
+    rng_frame: jnp.ndarray   # () int32, MONOTONIC frame index for RNG
+                             # decorrelation (never reset — resetting the
+                             # accumulator must not replay the same samples)
     light_angle: jnp.ndarray # () f32, current orbit angle of L
     cam_c: Vec3              # camera position (scalars)
     yaw: jnp.ndarray         # () f32
@@ -62,6 +65,7 @@ def init_state(cfg: RenderConfig, scene: SceneTables, seed: int = 0) -> RenderSt
     return RenderState(
         accum=jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
         frames=jnp.int32(0),
+        rng_frame=jnp.int32(0),
         light_angle=jnp.float32(angle),
         cam_c=Vec3.const(0.0, 0.0, 55.0),
         yaw=jnp.float32(0.0),
@@ -84,7 +88,7 @@ def _step_impl(scene, cfg, state, angular_speed, dt):
     scene_t = orbit_light(scene, angle)
     cam = Camera.from_yaw_pitch(state.cam_c, state.yaw, state.pitch)
 
-    frame_key = jax.random.fold_in(state.key, state.frames)
+    frame_key = jax.random.fold_in(state.key, state.rng_frame)
     rows = np.arange(cfg.height, dtype=np.int32)
     acc, _stats = render_rows(
         scene_t, cfg, cam, frame_key, rows, np.arange(cfg.spp)
@@ -100,7 +104,10 @@ def _step_impl(scene, cfg, state, angular_speed, dt):
     frames = state.frames + 1
     display = tonemap_device(accum / frames.astype(jnp.float32))
 
-    new_state = state._replace(accum=accum, frames=frames, light_angle=angle)
+    new_state = state._replace(
+        accum=accum, frames=frames, rng_frame=state.rng_frame + 1,
+        light_angle=angle,
+    )
     return new_state, display
 
 
@@ -142,10 +149,7 @@ def steps(
     def body(st, _):
         st, disp = _step_impl(scene, cfg, st, angular_speed, dt)
         if reset_each:
-            st = st._replace(
-                accum=jnp.zeros_like(st.accum),
-                frames=jnp.zeros_like(st.frames),
-            )
+            st = reset_accumulation(st)
         return st, disp
 
     return jax.lax.scan(body, state, None, length=n_frames)

@@ -31,15 +31,16 @@ def load_state(path: str) -> RenderState:
     data = np.load(path, allow_pickle=False)
     n = int(data["n_leaves"])
     leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(n)]
-    # RenderState structure: accum, frames, light_angle, cam_c(Vec3=3), yaw,
-    # pitch, key — rebuild by unflattening against a template treedef.
+    # RenderState leaf order: accum, frames, rng_frame, light_angle,
+    # cam_c(Vec3=3), yaw, pitch, key.
     template = RenderState(
         accum=leaves[0],
         frames=leaves[1],
-        light_angle=leaves[2],
-        cam_c=Vec3(leaves[3], leaves[4], leaves[5]),
-        yaw=leaves[6],
-        pitch=leaves[7],
-        key=leaves[8],
+        rng_frame=leaves[2],
+        light_angle=leaves[3],
+        cam_c=Vec3(leaves[4], leaves[5], leaves[6]),
+        yaw=leaves[7],
+        pitch=leaves[8],
+        key=leaves[9],
     )
     return template

@@ -33,3 +33,12 @@ def test_custom_obj(tmp_path):
                  spp=1, max_depth=1, traversal="pallas")
     img = r.render()
     assert img.shape == (12, 12, 3)
+
+
+def test_animate_frames_decorrelated():
+    """reset_each must NOT replay the same RNG: with a frozen light, frames
+    differ only by their sample noise — they must not be identical."""
+    r = Renderer("showcase", width=16, height=16, spp=1, max_depth=2)
+    frames = list(r.animate(3, seed=5, light_speed=0.0, reset_each=True))
+    assert not np.array_equal(frames[0], frames[1])
+    assert not np.array_equal(frames[1], frames[2])

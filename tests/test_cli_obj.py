@@ -8,18 +8,30 @@ from raytracinggpu_tpu.render.image_io import read_png
 def test_render_custom_obj(tmp_path):
     # A ground-plane quad mesh instead of the cat.
     p = tmp_path / "quad.obj"
+    # Winding chosen so the geometric normal points up (the reference never
+    # flips mesh normals toward the viewer; a downward normal would
+    # self-shadow to black).
     p.write_text(
         "v -10 -8 -10\nv 10 -8 -10\nv 10 -8 10\nv -10 -8 10\n"
-        "f 1 2 3 4\n"
+        "f 4 3 2 1\n"
     )
     out = str(tmp_path / "o.png")
     rc = main([
         "render", "2", "2", "--preset", "array_bvh",
         "--width", "16", "--height", "16",
-        "--obj", str(p), "--out", out,
+        "--obj", str(p), "--traversal", "pallas", "--out", out,
     ])
     assert rc == 0
-    assert read_png(out).shape == (16, 16, 3)
+    img = read_png(out)
+    assert img.shape == (16, 16, 3)
+    # The flat (zero-thickness AABB) quad must actually be visible — a
+    # strict slab test would cull the planar tile entirely.  Only the gray
+    # mesh produces red==green energy (walls here are pure green/blue).
+    region = img[8:12, :, :].astype(int)
+    mesh_px = (region[..., 0] > 60) & (
+        abs(region[..., 0] - region[..., 1]) < 25
+    )
+    assert mesh_px.sum() >= 3, "flat mesh not visible (culled?)"
 
 
 def test_render_lbvh_builder(tmp_path):
