@@ -26,15 +26,21 @@ INF = 1e9 + 9
 class OracleScene:
     """Plain-python scene: spheres + optional triangle soup."""
 
-    def __init__(self, spheres, materials, L, intensity, tris=None, mesh_mat=None):
+    def __init__(self, spheres, materials, L, intensity, tris=None, mesh_mat=None,
+                 tri_normals=None):
         # spheres: list of (center(3,), radius); materials: list of
         # (albedo(3,), mirror, in_ri, out_ri) — mesh material appended last.
+        # tri_normals: optional (Na, Nb, Nc) per-corner vertex normals for
+        # Phong-smooth shading (realtime_render.cu:221-245).
         self.C = np.array([s[0] for s in spheres], np.float32)
         self.R = np.array([s[1] for s in spheres], np.float32)
         mats = list(materials)
         self.tris = None
+        self.tri_normals = None
         if tris is not None:
             self.tris = [np.asarray(t, np.float32) for t in tris]  # (A, B, C)
+            if tri_normals is not None:
+                self.tri_normals = [np.asarray(t, np.float32) for t in tri_normals]
             mats.append(mesh_mat)
         self.albedo = np.array([m[0] for m in mats], np.float32)
         self.mirror = np.array([m[1] for m in mats], bool)
@@ -87,8 +93,18 @@ class OracleScene:
             )
         t = np.where(valid, t, INF)
         j = np.argmin(t, axis=1)
-        tmin = t[np.arange(len(t)), j]
-        n = Ng[j]
+        rows = np.arange(len(t))
+        tmin = t[rows, j]
+        if self.tri_normals is not None:
+            # Phong interpolation at the winning triangle
+            # (get_smooth_normal, realtime_render.cu:221-245).
+            b = beta[rows, j]
+            g = gamma[rows, j]
+            a = 1.0 - b - g
+            Na, Nb, Nc = self.tri_normals
+            n = (a[:, None] * Na[j] + b[:, None] * Nb[j] + g[:, None] * Nc[j])
+        else:
+            n = Ng[j]
         nn = np.linalg.norm(n, axis=-1, keepdims=True)
         N = n / np.where(nn > 0, nn, 1.0)
         return tmin, N
