@@ -79,9 +79,10 @@ class OracleScene:
         ao = A[None, :, :] - O[:, None, :]                # (R, T, 3) = A - O
         denom = np.einsum("rd,td->rt", u, Ng)             # u.N
         aoxu = np.cross(ao, u[:, None, :])                # (A-O) x u
-        beta = np.einsum("td,rtd->rt", e2, aoxu) / denom
-        gamma = -np.einsum("td,rtd->rt", e1, aoxu) / denom
-        t = np.einsum("rtd,td->rt", ao, Ng) / denom
+        with np.errstate(invalid="ignore", divide="ignore"):
+            beta = np.einsum("td,rtd->rt", e2, aoxu) / denom
+            gamma = -np.einsum("td,rtd->rt", e1, aoxu) / denom
+            t = np.einsum("rtd,td->rt", ao, Ng) / denom
         with np.errstate(invalid="ignore"):
             valid = (
                 (denom != 0.0)
