@@ -130,7 +130,16 @@ def cmd_render(args) -> int:
         print(f"profiler trace -> {args.profile} (view with tensorboard)")
 
     out = args.out or f"image_{args.preset}.png"
-    write_png(out, tonemap(np.asarray(img)))
+    arr = np.asarray(img)
+    if args.selfcheck:
+        # SURVEY.md §5: the TPU answer to compute-sanitizer — validate the
+        # frame (finite radiance; hits account for every ray in the
+        # enclosed scenes) and determinism (same seed => identical frame).
+        assert np.isfinite(arr).all(), "non-finite radiance in frame"
+        img2, _ = render_frame(tables, cfg, cam, key)
+        assert np.array_equal(np.asarray(img2), arr), "nondeterministic render"
+        print("selfcheck OK: finite + deterministic")
+    write_png(out, tonemap(arr))
     rep = ray_report(stats, cfg.spp, cfg.width, cfg.height, wall)
     print(f"Rendering time: {wall:.3f} s")  # reference print shape
     print(json.dumps(rep))
@@ -239,6 +248,8 @@ def main(argv=None) -> int:
     pr.add_argument("--out", default=None)
     pr.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the render to DIR")
+    pr.add_argument("--selfcheck", action="store_true",
+                    help="validate the frame (finite, deterministic)")
 
     pt = sub.add_parser("realtime", help="progressive loop with circulating light")
     _add_common(pt)
@@ -260,12 +271,21 @@ def main(argv=None) -> int:
     pb.add_argument("--out", default=None)
 
     args = ap.parse_args(argv)
-    if args.cmd == "render":
-        return cmd_render(args)
-    if args.cmd == "realtime":
-        return cmd_realtime(args)
-    if args.cmd == "bench":
-        return cmd_bench(args)
+    try:
+        if args.cmd == "render":
+            return cmd_render(args)
+        if args.cmd == "realtime":
+            return cmd_realtime(args)
+        if args.cmd == "bench":
+            return cmd_bench(args)
+    except FileNotFoundError as e:
+        # Graceful asset errors (the reference prints-and-returns on a
+        # missing OBJ, cpu_launcher.cpp:322-325).
+        print(f"error: file not found: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     return 2
 
 

@@ -84,7 +84,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             # loses the min-t merge beyond it) — tightens tile culling.
             mh = intersect_tris_pallas(
                 O, u, scene.pallas_mesh, cfg.eps_leaf, interpret=interpret,
-                sort_rays=cfg.ray_sort, cap=t_s,
+                sort_rays=cfg.ray_sort, cap=t_s, subg=cfg.pallas_subgroup,
             )
             if cfg.smooth_normals:
                 beta, gamma = recompute_barycentrics(O, u, scene.pallas_mesh, mh)
@@ -133,6 +133,7 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, 
         t_mesh = intersect_tris_shadow(
             O, u, scene.pallas_mesh, cfg.eps_leaf,
             cap=Lv.norm(), interpret=interpret, sort_rays=cfg.ray_sort,
+            subg=cfg.pallas_subgroup,
         )
         return jnp.minimum(t_sph, t_mesh)
     sh = intersect_all(scene, cfg, O, u)

@@ -172,7 +172,7 @@ def _ray_features16(O: Vec3, u: Vec3) -> jnp.ndarray:
     )
 
 
-def _closest_hit_kernel(eps_leaf, track_idx,
+def _closest_hit_kernel(eps_leaf, track_idx, subg,
                         lists_ref, rf_ref, tri_ref,
                         t_ref, idx_ref, t_run, tile_run):
     """Two-level tiled closest hit for one 1024-ray program block.
@@ -184,8 +184,8 @@ def _closest_hit_kernel(eps_leaf, track_idx,
     branches, both of which measured ~10x slower than the triangle math
     they were guarding."""
     b = pl.program_id(0)
-    n_sg = BLK_R // SUBG
-    per_row = TILE_T // SUBG  # subgroups per 128-ray output row
+    n_sg = BLK_R // subg
+    per_row = TILE_T // subg  # subgroups per 128-ray output row
 
     for out_row in range(BLK_R // TILE_T):
         t_run[:] = jnp.full((TILE_T, TILE_T), INF, jnp.float32)
@@ -194,9 +194,9 @@ def _closest_hit_kernel(eps_leaf, track_idx,
 
         for half in range(per_row):
             sg = out_row * per_row + half
-            rows = pl.ds(sg * SUBG, SUBG)
-            scr = pl.ds(half * SUBG, SUBG)
-            col = lambda k: rf_ref[rows, k:k + 1]           # (SUBG, 1)
+            rows = pl.ds(sg * subg, subg)
+            scr = pl.ds(half * subg, subg)
+            col = lambda k: rf_ref[rows, k:k + 1]           # (subg, 1)
             ux, uy, uz = col(0), col(1), col(2)
             wx, wy, wz = col(3), col(4), col(5)
             Ox, Oy, Oz = col(6), col(7), col(8)
@@ -268,23 +268,23 @@ def _closest_hit_kernel(eps_leaf, track_idx,
             )
 
 
-def _shadow_kernel(eps_leaf, lists_ref, rf_ref, tri_ref, t_ref, t_run):
+def _shadow_kernel(eps_leaf, subg, lists_ref, rf_ref, tri_ref, t_ref, t_run):
     """Any-hit (occlusion) variant: same two-level Moller-Trumbore tile loop
     but no winner tracking — the shadow test only needs the nearest distance
     to compare against |L - P|^2 (global_launcher.cu:795-799), so the
     running min is a single fused minimum and the argmin epilogue
     disappears.  Shadow rays are ~half of all casts."""
     b = pl.program_id(0)
-    n_sg = BLK_R // SUBG
-    per_row = TILE_T // SUBG
+    n_sg = BLK_R // subg
+    per_row = TILE_T // subg
 
     for out_row in range(BLK_R // TILE_T):
         t_run[:] = jnp.full((TILE_T, TILE_T), INF, jnp.float32)
 
         for half in range(per_row):
             sg = out_row * per_row + half
-            rows = pl.ds(sg * SUBG, SUBG)
-            scr = pl.ds(half * SUBG, SUBG)
+            rows = pl.ds(sg * subg, subg)
+            scr = pl.ds(half * subg, subg)
             col = lambda k: rf_ref[rows, k:k + 1]
             ux, uy, uz = col(0), col(1), col(2)
             wx, wy, wz = col(3), col(4), col(5)
@@ -326,8 +326,8 @@ def _shadow_kernel(eps_leaf, lists_ref, rf_ref, tri_ref, t_ref, t_run):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("eps_leaf", "interpret"))
-def _shadow_call(rf, fields, lists, eps_leaf, interpret):
+@functools.partial(jax.jit, static_argnames=("eps_leaf", "interpret", "subg"))
+def _shadow_call(rf, fields, lists, eps_leaf, interpret, subg=SUBG):
     R = rf.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -342,7 +342,7 @@ def _shadow_call(rf, fields, lists, eps_leaf, interpret):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((TILE_T, TILE_T), jnp.float32)],
     )
-    kernel = functools.partial(_shadow_kernel, eps_leaf)
+    kernel = functools.partial(_shadow_kernel, eps_leaf, subg)
     t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -360,6 +360,7 @@ def intersect_tris_shadow(
     cap=None,
     interpret: bool = False,
     sort_rays: bool = True,
+    subg: int = SUBG,
 ):
     """Nearest mesh hit distance only (shadow/occlusion query).  ``cap``
     (per-ray max useful distance, |L - P_adj|) culls tiles entirely beyond
@@ -379,8 +380,8 @@ def intersect_tris_shadow(
             cap = extra[0]
     rf = _ray_features16(O, u)
     n_tiles = tab.fields.shape[1] // TILE_T
-    lists = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap)
-    t = _shadow_call(rf, tab.fields, lists, float(eps_leaf), interpret)
+    lists = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap, subg=subg)
+    t = _shadow_call(rf, tab.fields, lists, float(eps_leaf), interpret, subg=subg)
     if perm is not None:
         (t,) = _unsort(perm, t)
     return t[:R] if pad else t
@@ -408,7 +409,8 @@ def slab_enter_exit(O: Vec3, u: Vec3, aabb, n_tiles: int):
     return enter, exit_, hit
 
 
-def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
+def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None,
+                        subg: int = SUBG):
     """Vectorized (XLA) per-block tile culling.
 
     Per-ray slab tests against every tile AABB (branchless
@@ -428,7 +430,7 @@ def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
     enter, exit_, hit = slab_enter_exit(O, u, aabb, n_tiles)
     if cap is not None:
         hit = hit & (enter <= cap[None, :])
-    blk = hit.reshape(n_tiles, -1, SUBG).any(axis=2).T       # (n_subgroups, nt)
+    blk = hit.reshape(n_tiles, -1, subg).any(axis=2).T       # (n_subgroups, nt)
     # One merged row per subgroup: [count, id0, id1, ...].  The
     # scalar-prefetch operands live in SMEM where every row pads its last
     # dim to 128 elements, so separate count/ids arrays overflow the ~1 MB
@@ -440,8 +442,8 @@ def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None):
     return jnp.concatenate([n_active, order], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("eps_leaf", "interpret"))
-def _closest_hit_call(rf, fields, lists, eps_leaf, interpret):
+@functools.partial(jax.jit, static_argnames=("eps_leaf", "interpret", "subg"))
+def _closest_hit_call(rf, fields, lists, eps_leaf, interpret, subg=SUBG):
     R = rf.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # merged [count|ids] rows (SMEM)
@@ -463,7 +465,7 @@ def _closest_hit_call(rf, fields, lists, eps_leaf, interpret):
             pltpu.VMEM((TILE_T, TILE_T), jnp.int32),
         ],
     )
-    kernel = functools.partial(_closest_hit_kernel, eps_leaf, True)
+    kernel = functools.partial(_closest_hit_kernel, eps_leaf, True, subg)
     t, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -484,6 +486,7 @@ def intersect_tris_pallas(
     interpret: bool = False,
     sort_rays: bool = True,
     cap=None,
+    subg: int = SUBG,
 ) -> TriHit:
     """Closest hit over the tiled mesh; returns TriHit compatible with the
     dense path (beta/gamma filled with zeros — recover via
@@ -516,8 +519,10 @@ def intersect_tris_pallas(
     # Derive the tile count from the (static) table shape — tab.n_tiles is a
     # pytree leaf and would be a tracer under jit.
     n_tiles = tab.fields.shape[1] // TILE_T
-    lists = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap)
-    t, idx = _closest_hit_call(rf, tab.fields, lists, float(eps_leaf), interpret)
+    lists = _block_active_tiles(O, u, tab.tile_aabb, n_tiles, cap=cap, subg=subg)
+    t, idx = _closest_hit_call(
+        rf, tab.fields, lists, float(eps_leaf), interpret, subg=subg
+    )
     if perm is not None:
         t, idx = _unsort(perm, t, idx)
     if pad:

@@ -92,6 +92,9 @@ class RenderConfig:
                                 # bigger groups = larger ray batches per
                                 # kernel dispatch, more VPU work in flight)
     tri_block: int = 512        # triangle block for the dense scan
+    pallas_subgroup: int = 64   # rays per culling subgroup in the pallas
+                                # kernel (32/64/128 — union-vs-overhead
+                                # ablation axis, see ops/pallas_trace.SUBG)
     bvh_max_leaf: int = 96      # static leaf-unroll bound for traversal
                                 # mode 'bvh' (degenerate midpoint partitions
                                 # can leave big leaves; the cat's worst is

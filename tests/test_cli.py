@@ -48,3 +48,20 @@ def test_realtime_subcommand(tmp_path, capsys):
     cap = capsys.readouterr().out
     summary = json.loads([l for l in cap.splitlines() if l.startswith("{")][-1])
     assert summary["frames"] == 2
+
+
+def test_selfcheck_and_missing_obj(tmp_path, capsys):
+    out = str(tmp_path / "s.png")
+    rc = main([
+        "render", "1", "1", "--preset", "showcase",
+        "--width", "8", "--height", "8", "--out", out, "--selfcheck",
+    ])
+    assert rc == 0
+    assert "selfcheck OK" in capsys.readouterr().out
+
+    rc = main([
+        "render", "1", "1", "--preset", "array_bvh",
+        "--obj", str(tmp_path / "missing.obj"), "--out", out,
+    ])
+    assert rc == 1
+    assert "file not found" in capsys.readouterr().err
