@@ -69,6 +69,13 @@ def _build(args):
 
     mesh = None
     builder = getattr(args, "bvh_builder", "reference")
+    if getattr(args, "obj", None) and args.preset == "showcase":
+        # Mirror api.Renderer: the showcase preset composes its own scene and
+        # would silently ignore a custom mesh.
+        raise SystemExit(
+            "error: --obj is not supported with --preset showcase "
+            "(the showcase scene ignores custom meshes)"
+        )
     if getattr(args, "obj", None):
         # Custom mesh in place of the cat (beyond-reference capability: the
         # reference hardcodes its scene in every main()).

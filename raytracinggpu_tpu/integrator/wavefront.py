@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raytracinggpu_tpu.core.rays import RayBatch
 from raytracinggpu_tpu.core.rng import cosine_hemisphere
 from raytracinggpu_tpu.core.vec import Vec3, vgather, vwhere
 from raytracinggpu_tpu.ops.sphere import INF, intersect_spheres
@@ -172,10 +173,9 @@ def trace(
     mats = scene.materials
     eps = np.float32(cfg.eps_bounce)
     R = O.x.shape[0]
-    ri0 = jnp.ones_like(O.x)
 
-    def depth_step(carry, xs):
-        O, u, ri = carry
+    def depth_step(ray: RayBatch, xs):
+        O, u, ri = ray
         r1, r2 = xs[0], xs[1]
 
         h = intersect_all(scene, cfg, O, u)
@@ -253,10 +253,13 @@ def trace(
             ]
         ).astype(jnp.int32)
         out = (is_diff, direct, alb, counts)
-        return (O2, u2, ri2), out
+        return RayBatch(O2, u2, ri2), out
 
-    (_, _, _), (types, directs, albedos, counts) = jax.lax.scan(
-        depth_step, (O, u, ri0), uniforms
+    # The scan carry is the wavefront's RayBatch — the SoA form of the
+    # reference's medium-tracking Ray {O, u, refraction_index}
+    # (global_launcher.cu:93-99); primary rays start in medium 1.0.
+    _, (types, directs, albedos, counts) = jax.lax.scan(
+        depth_step, RayBatch.make(O, u), uniforms
     )
 
     # ---- backward composite (global_launcher.cu:830-838) ----

@@ -18,8 +18,10 @@ Leaf triangle tests reuse the factorized Moller-Trumbore feature matrix
 (ops/triangle.py) gathered per lane, statically unrolled to
 ``max_leaf_tris`` (RenderConfig.bvh_max_leaf).  Degenerate midpoint
 partitions can produce leaves of any size; build_scene_tables warns when a
-mesh's worst leaf exceeds the default bound (the lbvh builder bounds
-leaves at 8).
+mesh's worst leaf exceeds the default bound.  The lbvh builder never
+produces such leaves: it splits every range of >= 5 triangles (with a
+median fallback for identical Morton codes), so its leaves hold < 5
+triangles by construction (accel/lbvh.py).
 """
 from __future__ import annotations
 

@@ -185,9 +185,10 @@ def on_key(state: RenderState, keyname: str) -> RenderState:
     c = state.cam_c
     upd = {}
     if keyname == "left":
-        upd["yaw"] = state.yaw - YAW_PITCH_STEP
-    elif keyname == "right":
+        # GLUT_KEY_LEFT calls changeYaw(+0.02) (realtime_render.cu:1218).
         upd["yaw"] = state.yaw + YAW_PITCH_STEP
+    elif keyname == "right":
+        upd["yaw"] = state.yaw - YAW_PITCH_STEP
     elif keyname == "up":
         upd["pitch"] = state.pitch + YAW_PITCH_STEP
     elif keyname == "down":

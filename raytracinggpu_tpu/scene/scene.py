@@ -99,8 +99,8 @@ class RenderConfig:
                                 # mode 'bvh' (degenerate midpoint partitions
                                 # can leave big leaves; the cat's worst is
                                 # 73 — build_scene_tables warns when a mesh
-                                # exceeds this, and the lbvh builder bounds
-                                # leaves at 8)
+                                # exceeds this; the lbvh builder's leaves
+                                # are < 5 triangles by construction)
     mxu_precision: str = "highest"  # highest | default (bf16 fast path)
 
     @property

@@ -43,3 +43,17 @@ def test_render_lbvh_builder(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_showcase_rejects_custom_obj(tmp_path):
+    # CLI must mirror api.Renderer's ValueError: the showcase preset builds
+    # its own scene and would silently ignore --obj (ADVICE round 1).
+    import pytest
+
+    p = tmp_path / "quad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    with pytest.raises(SystemExit):
+        main([
+            "render", "1", "1", "--preset", "showcase",
+            "--width", "8", "--height", "8", "--obj", str(p),
+        ])

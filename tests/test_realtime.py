@@ -68,7 +68,8 @@ def test_reset_and_keys():
     st, _ = step(tables, cfg, st)
     st2 = on_key(st, "left")
     assert int(st2.frames) == 0 and float(np.abs(np.asarray(st2.accum)).sum()) == 0.0
-    assert np.isclose(float(st2.yaw), -0.02)
+    # GLUT_KEY_LEFT -> changeYaw(+0.02) (realtime_render.cu:1218)
+    assert np.isclose(float(st2.yaw), 0.02)
     st3 = on_key(st2, "w")
     assert np.isclose(float(st3.cam_c.z), 53.0)
     st4 = on_key(st3, "up")
