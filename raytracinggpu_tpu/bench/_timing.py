@@ -1,0 +1,64 @@
+"""Shared device-timing helper for the microbenchmarks.
+
+Measures fn(*args) per-iteration cost inside ONE jitted lax.scan so the
+~29 ms host dispatch overhead (PERF_NOTES.md) washes out.  Two traps this
+helper avoids:
+
+- loop-invariant hoisting: with constant inputs XLA moves the whole body out
+  of the scan and the measurement collapses to the per-iteration scan floor
+  (~1 ms on this runtime).  Every iteration therefore perturbs each input
+  leaf with a value that is data-dependent on the previous iteration's
+  output (and always exactly zero: ``prev_sum * 0.0`` — XLA does not fold
+  float ``x * 0`` because of NaN/inf semantics).
+- dead-code elimination: a scalar from every output leaf folds into the
+  carried sum.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timed_scan(fn, args, iters: int = 30, warm: int = 1) -> float:
+    """Per-iteration wall time (seconds) of fn(*args) inside a jitted scan."""
+
+    def perturb(leaf, c):
+        if not hasattr(leaf, "dtype"):
+            return leaf
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf + (c * 0.0).astype(leaf.dtype)
+        if jnp.issubdtype(leaf.dtype, jnp.integer):
+            return leaf + (c > jnp.float32(3e38)).astype(leaf.dtype)
+        return leaf
+
+    @jax.jit
+    def loop(args):
+        def body(c, _):
+            a = jax.tree.map(lambda x: perturb(x, c), args)
+            out = fn(*a)
+            s = jax.tree.reduce(
+                lambda p, q: p + q,
+                jax.tree.map(
+                    lambda x: jnp.sum(x[..., :1].astype(jnp.float32)), out
+                ),
+            )
+            # keep the carry finite so the zero-perturbation stays exactly 0
+            return jnp.minimum(c + jnp.abs(s), jnp.float32(1e30)), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return total
+
+    for _ in range(warm):
+        loop(args).block_until_ready()
+    t0 = time.perf_counter()
+    loop(args).block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def scan_floor(iters: int = 100) -> float:
+    """The per-iteration cost of an (almost) empty scan body — the
+    measurement floor to subtract from small benchmarks."""
+    x = jnp.zeros((8, 128), jnp.float32)
+    return timed_scan(lambda v: v + 1.0, (x,), iters)

@@ -24,33 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raytracinggpu_tpu.bench._timing import scan_floor, timed_scan
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
-def timed_scan(fn, args, iters: int, warm: int = 1):
-    """Run fn(*args) `iters` times inside one jitted scan; return s/iter."""
-
-    @jax.jit
-    def loop(args):
-        def body(c, _):
-            out = fn(*args)
-            # Fold a scalar of the output into the carry so nothing is DCE'd.
-            s = jax.tree.reduce(
-                lambda a, b: a + b,
-                jax.tree.map(lambda x: jnp.sum(x[..., :1].astype(jnp.float32)), out),
-            )
-            return c + s, None
-
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return total
-
-    for _ in range(warm):
-        loop(args).block_until_ready()
-    t0 = time.perf_counter()
-    loop(args).block_until_ready()
-    dt = time.perf_counter() - t0
-    return dt / iters
 
 
 def make_rays(kind: str, R: int, seed: int = 0):
@@ -135,6 +112,7 @@ def main() -> None:
 
     R = args.rays
     results = {}
+    print(f"scan floor: {scan_floor()*1e6:.1f} us/iter")
 
     def run(name, fn, fargs):
         if args.only and not any(s in name for s in args.only.split(",")):

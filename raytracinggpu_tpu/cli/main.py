@@ -159,6 +159,11 @@ def cmd_realtime(args) -> int:
     from raytracinggpu_tpu.utils.checkpoint import save_state
 
     cfg, tables = _build(args)
+    if getattr(args, "animate", "light") in ("mesh", "both"):
+        from dataclasses import replace
+
+        cfg = replace(cfg, animate_mesh=True)
+    light_speed = args.light_speed if args.animate in ("light", "both") else 0.0
     raw = sys.stdout.buffer if args.raw else None
     if args.interactive:
         return _interactive_loop(tables, cfg, args)
@@ -169,7 +174,8 @@ def cmd_realtime(args) -> int:
         seed=args.seed,
         out_dir=args.out_dir,
         raw_pipe=raw,
-        angular_speed=args.light_speed,
+        angular_speed=light_speed,
+        mesh_speed=args.mesh_speed,
     )
     info = sys.stderr if args.raw else sys.stdout
     if args.checkpoint:
@@ -266,6 +272,12 @@ def main(argv=None) -> int:
     pt.add_argument("--raw", action="store_true",
                     help="stream raw RGB24 frames to stdout (ffmpeg pipe)")
     pt.add_argument("--light-speed", type=float, default=1.0)
+    pt.add_argument("--animate", choices=["light", "mesh", "both"],
+                    default="light",
+                    help="per-frame animation: circulating light (reference "
+                         "demo), spinning mesh (jitted pose transform), or "
+                         "both")
+    pt.add_argument("--mesh-speed", type=float, default=1.0)
     pt.add_argument("--checkpoint", default=None)
     pt.add_argument("--interactive", action="store_true",
                     help="terminal-interactive camera (GLUT-equivalent keys)")

@@ -90,6 +90,24 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             if cfg.smooth_normals:
                 beta, gamma = recompute_barycentrics(O, u, scene.pallas_mesh, mh)
                 mh = mh._replace(beta=beta, gamma=gamma)
+        elif cfg.traversal == "pairs":
+            from raytracinggpu_tpu.ops.pairs_trace import intersect_tris_pairs
+            from raytracinggpu_tpu.ops.pallas_trace import (
+                recompute_barycentrics,
+            )
+
+            interpret = jax.devices()[0].platform != "tpu"
+            mh = intersect_tris_pairs(
+                O, u, scene.pairs_mesh, cfg.eps_leaf, cap=t_s,
+                interpret=interpret, subg=cfg.pairs_subgroup,
+                blk=cfg.pairs_block, maxp=cfg.pairs_maxp,
+            )
+            if cfg.smooth_normals:
+                # winner idx is the ORIGINAL BVH-order id, so the pallas
+                # fieldsT row-gather recovery applies unchanged
+                beta, gamma = recompute_barycentrics(
+                    O, u, scene.pallas_mesh, mh)
+                mh = mh._replace(beta=beta, gamma=gamma)
         elif cfg.traversal == "bvh":
             from raytracinggpu_tpu.ops.bvh_traverse import intersect_tris_bvh
 
@@ -135,6 +153,19 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, 
             O, u, scene.pallas_mesh, cfg.eps_leaf,
             cap=Lv.norm(), interpret=interpret, sort_rays=cfg.ray_sort,
             subg=cfg.pallas_subgroup,
+        )
+        return jnp.minimum(t_sph, t_mesh)
+    if scene.mesh is not None and cfg.traversal == "pairs":
+        from raytracinggpu_tpu.ops.pairs_trace import (
+            intersect_tris_pairs_shadow,
+        )
+
+        interpret = jax.devices()[0].platform != "tpu"
+        t_sph, _, _ = intersect_spheres(O, u, scene.spheres)
+        t_mesh = intersect_tris_pairs_shadow(
+            O, u, scene.pairs_mesh, cfg.eps_leaf,
+            cap=Lv.norm(), interpret=interpret, subg=cfg.pairs_subgroup,
+            blk=cfg.pairs_block, maxp=cfg.pairs_maxp,
         )
         return jnp.minimum(t_sph, t_mesh)
     sh = intersect_all(scene, cfg, O, u)

@@ -49,6 +49,9 @@ class RenderState(NamedTuple):
                              # decorrelation (never reset — resetting the
                              # accumulator must not replay the same samples)
     light_angle: jnp.ndarray # () f32, current orbit angle of L
+    mesh_angle: jnp.ndarray  # () f32, current Y-rotation of the mesh pose
+                             # (the reference's intended-but-dead transform
+                             # path, realtime_render.cu:1311-1335, live here)
     cam_c: Vec3              # camera position (scalars)
     yaw: jnp.ndarray         # () f32
     pitch: jnp.ndarray       # () f32
@@ -67,6 +70,7 @@ def init_state(cfg: RenderConfig, scene: SceneTables, seed: int = 0) -> RenderSt
         frames=jnp.int32(0),
         rng_frame=jnp.int32(0),
         light_angle=jnp.float32(angle),
+        mesh_angle=jnp.float32(0.0),
         cam_c=Vec3.const(0.0, 0.0, 55.0),
         yaw=jnp.float32(0.0),
         pitch=jnp.float32(0.3),
@@ -83,9 +87,18 @@ def orbit_light(scene: SceneTables, angle) -> SceneTables:
     return scene._replace(L=L)
 
 
-def _step_impl(scene, cfg, state, angular_speed, dt):
+def _step_impl(scene, cfg, state, angular_speed, dt, mesh_speed):
     angle = state.light_angle + angular_speed * dt
     scene_t = orbit_light(scene, angle)
+    mesh_angle = state.mesh_angle
+    if cfg.animate_mesh:
+        # Spinning-mesh demo: rebuild all mesh tables in-jit from the posed
+        # vertices (scene/transform.pose_mesh) — the TPU-native form of the
+        # reference's transform kernel + re-upload.
+        from raytracinggpu_tpu.scene.transform import pose_mesh, rotation_y
+
+        mesh_angle = state.mesh_angle + mesh_speed * dt
+        scene_t = pose_mesh(scene_t, rotation_y(mesh_angle))
     cam = Camera.from_yaw_pitch(state.cam_c, state.yaw, state.pitch)
 
     frame_key = jax.random.fold_in(state.key, state.rng_frame)
@@ -106,7 +119,7 @@ def _step_impl(scene, cfg, state, angular_speed, dt):
 
     new_state = state._replace(
         accum=accum, frames=frames, rng_frame=state.rng_frame + 1,
-        light_angle=angle,
+        light_angle=angle, mesh_angle=mesh_angle,
     )
     return new_state, display
 
@@ -118,13 +131,15 @@ def step(
     state: RenderState,
     angular_speed=np.float32(1.0),
     dt=np.float32(2e-2),
+    mesh_speed=np.float32(1.0),
 ):
-    """One progressive frame: orbit the light, render spp samples, accumulate,
-    and emit the gamma-packed display image (uint8).
+    """One progressive frame: orbit the light (and spin the mesh when
+    cfg.animate_mesh), render spp samples, accumulate, and emit the
+    gamma-packed display image (uint8).
 
     Returns (new_state, display_u8 (H, W, 3)).
     """
-    return _step_impl(scene, cfg, state, angular_speed, dt)
+    return _step_impl(scene, cfg, state, angular_speed, dt, mesh_speed)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 6), donate_argnums=(3,))
@@ -136,6 +151,7 @@ def steps(
     angular_speed=np.float32(1.0),
     dt=np.float32(2e-2),
     reset_each: bool = False,
+    mesh_speed=np.float32(1.0),
 ):
     """Render n_frames progressive frames in ONE dispatch (lax.scan) —
     amortizes the per-dispatch host overhead (~29 ms on tunneled runtimes,
@@ -147,7 +163,7 @@ def steps(
     Returns (state, frames_u8 (n, H, W, 3))."""
 
     def body(st, _):
-        st, disp = _step_impl(scene, cfg, st, angular_speed, dt)
+        st, disp = _step_impl(scene, cfg, st, angular_speed, dt, mesh_speed)
         if reset_each:
             st = reset_accumulation(st)
         return st, disp
@@ -219,6 +235,7 @@ def run_loop(
     raw_pipe=None,
     print_every: int = 5,
     angular_speed: float = 1.0,
+    mesh_speed: float = 1.0,
 ):
     """Host frame pump (the TPU analog of glutMainLoop + disp,
     realtime_render.cu:1244-1298): steps the jitted renderer, streams frames,
@@ -237,7 +254,8 @@ def run_loop(
     speed = np.float32(angular_speed)
     for i in range(n_frames):
         t0 = time.perf_counter()
-        state, display = step(scene, cfg, state, speed)
+        state, display = step(scene, cfg, state, speed,
+                              mesh_speed=np.float32(mesh_speed))
         display.block_until_ready()
         dt = time.perf_counter() - t0
         times.append(dt)

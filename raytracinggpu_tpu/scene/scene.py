@@ -56,8 +56,12 @@ class SceneTables(NamedTuple):
     mesh: TriTables | None
     bvh: BVHTables | None
     pallas_mesh: Any  # PallasMeshTables | None (fused-kernel tables)
+    pairs_mesh: Any   # PairsMeshTables | None (cluster-tiled pair kernel)
     L: Vec3          # point light position (scalars)
     intensity: Any   # light intensity (scalar)
+    mesh_src: Any = None  # MeshSource | None — BVH-ordered base vertices so
+                          # scene/transform.pose_mesh can rebuild every mesh
+                          # table in-jit (animated mesh poses)
 
 
 @dataclass(frozen=True)
@@ -79,7 +83,7 @@ class RenderConfig:
     camera_point_quirk: bool = False  # realtime adds cam.C into the direction
     n_objects: int = 7
     mesh_object_id: int = 6     # -1 when the scene has no mesh
-    traversal: str = "dense"    # dense | pallas | bvh (see ops/)
+    traversal: str = "dense"    # dense | pallas | pairs | bvh (see ops/)
     ray_sort: bool = False      # sort rays into beam families before the
                                 # pallas kernel (ablation mode; see
                                 # ops/pallas_trace.ray_sort_key — for the cat
@@ -95,6 +99,13 @@ class RenderConfig:
     pallas_subgroup: int = 64   # rays per culling subgroup in the pallas
                                 # kernel (32/64/128 — union-vs-overhead
                                 # ablation axis, see ops/pallas_trace.SUBG)
+    pairs_subgroup: int = 16    # rays per culling subgroup in the pairs
+                                # kernel (8-64; unions tighten as it shrinks
+                                # and the flat pair loop makes small sizes
+                                # affordable — ops/pairs_trace.py)
+    pairs_block: int = 4096     # rays per pairs-kernel program
+    pairs_maxp: int = 2048      # pair-list capacity per block (overflowing
+                                # blocks fall back to a dense sweep)
     bvh_max_leaf: int = 96      # static leaf-unroll bound for traversal
                                 # mode 'bvh' (degenerate midpoint partitions
                                 # can leave big leaves; the cat's worst is
@@ -102,6 +113,9 @@ class RenderConfig:
                                 # exceeds this; the lbvh builder's leaves
                                 # are < 5 triangles by construction)
     mxu_precision: str = "highest"  # highest | default (bf16 fast path)
+    animate_mesh: bool = False  # realtime loop: spin the mesh via the jitted
+                                # pose transform (scene/transform.py) — the
+                                # reference's dead transform path, wired
 
     @property
     def has_mesh(self) -> bool:
@@ -146,6 +160,8 @@ def build_scene_tables(
     mesh_tables = None
     bvh_tables = None
     pallas_tables = None
+    pairs_tables = None
+    mesh_src = None
     if mesh is not None:
         pad_to = _round_up(mesh.n_tri, tri_block)
         mesh_tables = build_tri_tables(
@@ -154,6 +170,12 @@ def build_scene_tables(
         from raytracinggpu_tpu.ops.pallas_trace import build_pallas_tables
 
         pallas_tables = build_pallas_tables(mesh.A, mesh.B, mesh.C, pad_to=pad_to)
+        from raytracinggpu_tpu.ops.pairs_trace import build_pairs_tables
+
+        pairs_tables = build_pairs_tables(mesh.A, mesh.B, mesh.C, mesh.bvh)
+        from raytracinggpu_tpu.scene.transform import build_mesh_source
+
+        mesh_src = build_mesh_source(mesh, pad_to)
         b = mesh.bvh
         leaves = b.right == -1
         max_leaf = int((b.tri_end - b.tri_start)[leaves].max())
@@ -187,8 +209,10 @@ def build_scene_tables(
         mesh=mesh_tables,
         bvh=bvh_tables,
         pallas_mesh=pallas_tables,
+        pairs_mesh=pairs_tables,
         L=Vec3.const(*np.asarray(L, np.float32)),
         intensity=jnp.float32(intensity),
+        mesh_src=mesh_src,
     )
     # Commit every leaf to device once at build: numpy leaves in a jit
     # argument would otherwise be re-uploaded host->device on EVERY call

@@ -32,15 +32,16 @@ def load_state(path: str) -> RenderState:
     n = int(data["n_leaves"])
     leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(n)]
     # RenderState leaf order: accum, frames, rng_frame, light_angle,
-    # cam_c(Vec3=3), yaw, pitch, key.
+    # mesh_angle, cam_c(Vec3=3), yaw, pitch, key.
     template = RenderState(
         accum=leaves[0],
         frames=leaves[1],
         rng_frame=leaves[2],
         light_angle=leaves[3],
-        cam_c=Vec3(leaves[4], leaves[5], leaves[6]),
-        yaw=leaves[7],
-        pitch=leaves[8],
-        key=leaves[9],
+        mesh_angle=leaves[4],
+        cam_c=Vec3(leaves[5], leaves[6], leaves[7]),
+        yaw=leaves[8],
+        pitch=leaves[9],
+        key=leaves[10],
     )
     return template

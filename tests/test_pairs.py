@@ -1,0 +1,184 @@
+"""Pair-compaction traversal (ops/pairs_trace.py) vs the tiled pallas kernel.
+
+Both modes must produce identical nearest hits (same t bits — each triangle's
+MT quantities are computed by the same factorized formula — and the same
+winner index under the reference's lowest-index tie-break,
+global_launcher.cu:268-278).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracinggpu_tpu.core.vec import Vec3
+from raytracinggpu_tpu.ops.pairs_trace import (
+    build_pairs_tables,
+    intersect_tris_pairs,
+    intersect_tris_pairs_shadow,
+)
+from raytracinggpu_tpu.ops.pallas_trace import (
+    intersect_tris_pallas,
+    intersect_tris_shadow,
+)
+from raytracinggpu_tpu.scene.presets import build_preset
+
+
+@pytest.fixture(scope="module")
+def cat():
+    cfg, tables = build_preset("array_bvh", traversal="pairs")
+    return cfg, tables
+
+
+def _rays(kind: str, R: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    if kind == "camera":
+        # fan of rays from the camera toward the scene
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d[:, 2] = -np.abs(d[:, 2]) - 0.5
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        O = np.tile(np.array([0.0, 0.0, 55.0], np.float32), (R, 1))
+    else:  # scattered: random origins in the box, random directions
+        O = rng.uniform(-25, 25, (R, 3)).astype(np.float32)
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (
+        Vec3(*(jnp.asarray(O[:, i].copy()) for i in range(3))),
+        Vec3(*(jnp.asarray(d[:, i].copy()) for i in range(3))),
+    )
+
+
+@pytest.mark.parametrize("kind", ["camera", "scattered"])
+def test_closest_matches_pallas(cat, kind):
+    _, tables = cat
+    O, u = _rays(kind, 3000)
+    a = intersect_tris_pairs(
+        O, u, tables.pairs_mesh, 1e-4, interpret=True, subg=16, blk=1024)
+    b = intersect_tris_pallas(
+        O, u, tables.pallas_mesh, 1e-4, interpret=True, sort_rays=False)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    hit = np.asarray(a.t) < 1e9
+    np.testing.assert_array_equal(
+        np.asarray(a.idx)[hit], np.asarray(b.idx)[hit])
+
+
+def test_closest_with_cap(cat):
+    _, tables = cat
+    O, u = _rays("scattered", 2000, seed=3)
+    cap = jnp.asarray(
+        np.random.default_rng(5).uniform(1.0, 40.0, 2000).astype(np.float32))
+    a = intersect_tris_pairs(
+        O, u, tables.pairs_mesh, 1e-4, cap=cap, interpret=True, blk=1024)
+    b = intersect_tris_pallas(
+        O, u, tables.pallas_mesh, 1e-4, cap=cap, interpret=True,
+        sort_rays=False)
+    # cap culling is conservative: results at/below the cap must be equal
+    ta, tb = np.asarray(a.t), np.asarray(b.t)
+    capn = np.asarray(cap)
+    m = (ta <= capn) | (tb <= capn)
+    np.testing.assert_array_equal(ta[m], tb[m])
+
+
+def test_shadow_matches_pallas(cat):
+    _, tables = cat
+    O, u = _rays("scattered", 2000, seed=7)
+    cap = jnp.full((2000,), 60.0, jnp.float32)
+    a = intersect_tris_pairs_shadow(
+        O, u, tables.pairs_mesh, 1e-4, cap=cap, interpret=True, blk=1024)
+    b = intersect_tris_shadow(
+        O, u, tables.pallas_mesh, 1e-4, cap=cap, interpret=True,
+        sort_rays=False)
+    ta, tb = np.asarray(a), np.asarray(b)
+    m = (ta <= 60.0) | (tb <= 60.0)
+    np.testing.assert_array_equal(ta[m], tb[m])
+
+
+def test_overflow_fallback_exact(cat):
+    """Force list overflow (tiny maxp): the dense in-kernel sweep must give
+    identical results."""
+    _, tables = cat
+    O, u = _rays("scattered", 1024, seed=11)
+    full = intersect_tris_pairs(
+        O, u, tables.pairs_mesh, 1e-4, interpret=True, blk=1024, maxp=4096)
+    tiny = intersect_tris_pairs(
+        O, u, tables.pairs_mesh, 1e-4, interpret=True, blk=1024, maxp=8)
+    np.testing.assert_array_equal(np.asarray(full.t), np.asarray(tiny.t))
+    hit = np.asarray(full.t) < 1e9
+    np.testing.assert_array_equal(
+        np.asarray(full.idx)[hit], np.asarray(tiny.idx)[hit])
+
+
+@pytest.mark.parametrize("subg,blk", [(8, 1024), (32, 2048), (64, 4096)])
+def test_subgroup_block_invariance(cat, subg, blk):
+    _, tables = cat
+    O, u = _rays("camera", 1500, seed=13)
+    a = intersect_tris_pairs(
+        O, u, tables.pairs_mesh, 1e-4, interpret=True, subg=subg, blk=blk)
+    b = intersect_tris_pairs(
+        O, u, tables.pairs_mesh, 1e-4, interpret=True, subg=16, blk=1024)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    hit = np.asarray(a.t) < 1e9
+    np.testing.assert_array_equal(
+        np.asarray(a.idx)[hit], np.asarray(b.idx)[hit])
+
+
+def test_cluster_tiles_are_tight(cat):
+    """The junk-tile problem the cluster cut removes: no tile AABB may span
+    a large fraction of the mesh (tiles are subtree boxes now)."""
+    _, tables = cat
+    aabb = np.asarray(tables.pairs_mesh.tile_aabb)
+    ext = aabb[:, 3:6] - aabb[:, 0:3]
+    vol = ext.prod(axis=1)
+    mesh_ext = aabb[:, 3:6].max(0) - aabb[:, 0:3].min(0)
+    assert vol.max() < 0.10 * mesh_ext.prod(), (
+        f"worst tile volume {vol.max():.0f} vs mesh {mesh_ext.prod():.0f}")
+
+
+def test_render_parity_with_pallas():
+    from raytracinggpu_tpu.render.pipeline import render_preset_frame
+
+    cfg_a, tab = build_preset(
+        "array_bvh", width=48, height=48, spp=2, max_depth=3,
+        traversal="pairs")
+    from dataclasses import replace
+
+    img_a, stats_a = render_preset_frame(tab, cfg_a, seed=0)
+    img_b, stats_b = render_preset_frame(tab, replace(cfg_a, traversal="pallas"), seed=0)
+    np.testing.assert_array_equal(img_a, img_b)
+    for a, b in zip(stats_a, stats_b):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pose_transform_rebuild(cat):
+    """pose_mesh must rebuild the pairs tables consistently: a rotated pose
+    equals a host build from rotated vertices."""
+    from raytracinggpu_tpu.scene.transform import pose_mesh, rotation_y
+
+    _, tables = cat
+    ang = 0.6
+    posed = jax.jit(lambda s: pose_mesh(s, rotation_y(ang)))(tables)
+
+    src = tables.mesh_src
+    c, s = np.cos(ang, dtype=np.float32), np.sin(ang, dtype=np.float32)
+    M = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    valid = np.asarray(src.valid)
+
+    O, u = _rays("scattered", 1500, seed=17)
+    a = intersect_tris_pairs(
+        O, u, posed.pairs_mesh, 1e-4, interpret=True, blk=1024)
+    # reference: rotate the BVH-ordered corners on host, rebuild tables
+    # through build_pairs_tables with the same FlatBVH (same cluster cut)
+    def rot(vec):
+        v = np.stack([np.asarray(vec.x), np.asarray(vec.y),
+                      np.asarray(vec.z)], axis=1)[valid]
+        return v @ M.T
+
+    from raytracinggpu_tpu.scene.mesh import build_mesh, rescale
+    from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH, read_obj
+
+    obj = read_obj(CAT_OBJ_PATH)
+    obj.vertices = rescale(obj.vertices, 0.6, (0.0, -10.0, 0.0))
+    mesh = build_mesh(obj)
+    tb = build_pairs_tables(rot(src.A), rot(src.B), rot(src.C), mesh.bvh)
+    b = intersect_tris_pairs(O, u, tb, 1e-4, interpret=True, blk=1024)
+    np.testing.assert_allclose(
+        np.asarray(a.t), np.asarray(b.t), rtol=1e-5, atol=1e-4)
