@@ -38,7 +38,7 @@ def main() -> None:
 
     cfg, tables = build_preset(
         "array_bvh", width=512, height=512, spp=32, max_depth=5,
-        traversal="pallas",
+        traversal="pairs",
     )
     cam = Camera.fixed(cfg.camera_c)
     key = jax.random.PRNGKey(0)

@@ -34,8 +34,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--spp", dest="spp_flag", type=int, default=None)
     p.add_argument("--bounces", dest="bounces_flag", type=int, default=None)
     p.add_argument("--traversal", default=None,
-                   choices=["pallas", "dense", "bvh"],
-                   help="mesh intersection mode (pallas = production kernel; "
+                   choices=["pairs", "pallas", "dense", "bvh"],
+                   help="mesh intersection mode (pairs = production kernel; "
                         "the ablation axis)")
     p.add_argument("--precision", default=None, choices=["highest", "default"])
     p.add_argument("--seed", type=int, default=0)

@@ -100,7 +100,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             mh = intersect_tris_pairs(
                 O, u, scene.pairs_mesh, cfg.eps_leaf, cap=t_s,
                 interpret=interpret, subg=cfg.pairs_subgroup,
-                blk=cfg.pairs_block, maxp=cfg.pairs_maxp,
+                blk=cfg.pairs_block,
             )
             if cfg.smooth_normals:
                 # winner idx is the ORIGINAL BVH-order id, so the pallas
@@ -165,7 +165,7 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, 
         t_mesh = intersect_tris_pairs_shadow(
             O, u, scene.pairs_mesh, cfg.eps_leaf,
             cap=Lv.norm(), interpret=interpret, subg=cfg.pairs_subgroup,
-            blk=cfg.pairs_block, maxp=cfg.pairs_maxp,
+            blk=cfg.pairs_block,
         )
         return jnp.minimum(t_sph, t_mesh)
     sh = intersect_all(scene, cfg, O, u)

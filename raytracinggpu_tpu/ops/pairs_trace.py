@@ -29,10 +29,10 @@ Three structural changes:
    preorder-contiguous and ascending, preserving the reference's
    lowest-index tie-break, global_launcher.cu:268-278).
 
-Worst-case pair lists are bounded by ``maxp`` per block; a block whose list
-overflows falls back (in-kernel) to the dense sweep over all
-(subgroup, tile) combinations — exact, just slower, and measured-rare
-(pair counts run ~3x below the default bound).
+The culling result crosses into the kernel as a packed bitmask (one bit
+per (subgroup, tile)) walked by the scalar core with de Bruijn bit
+extraction — exact, unbounded (no pair-list capacity / overflow path),
+and free of the row-rate scatter the front-packed list form needed.
 """
 from __future__ import annotations
 
@@ -54,7 +54,6 @@ TILE_T = 128          # triangles per cluster tile (lane dimension)
 NUM_FIELDS = 24       # rows 0-15: MT constants; 16: original tri id; 17+: pad
 DEF_BLK = 4096        # rays per kernel program
 DEF_SUBG = 16         # rays per culling subgroup
-DEF_MAXP = 2048       # pair-list capacity per block (overflow -> dense sweep)
 _IDX_BIG = np.int32(2**30)
 
 
@@ -75,14 +74,57 @@ class PairsMeshTables(NamedTuple):
 
 
 def _cluster_slots(bvh, n_tri: int):
-    """Host: cluster ranges -> (slot_src (nc*128,), n_clusters)."""
+    """Host: cluster ranges -> (slot_src (nc*128,), n_clusters).
+
+    The raw cluster cut (shallowest subtrees <= 128 tris) averages ~50%
+    tile occupancy; half-empty tiles double the per-pair math for nothing.
+    Clusters are therefore packed greedily in MORTON order of their box
+    centers (spatial neighbors merge, so the union AABB stays tight) while
+    their sizes fit one tile.  Packed tiles are not ascending in original
+    id anymore, so the closest-hit kernel breaks exact-t ties
+    lexicographically on (t, original id) instead of relying on visit
+    order."""
     from raytracinggpu_tpu.accel.bvh import cluster_cut
+    from raytracinggpu_tpu.accel.lbvh import morton_codes
 
     cut = cluster_cut(bvh, max_tris=TILE_T)
-    nc = len(cut.starts)
+    centers = (cut.mn + cut.mx) * 0.5
+    order = np.argsort(morton_codes(centers), kind="stable")
+    # First-fit within a sliding window of recent bins: high occupancy
+    # without merging spatially distant clusters.  Morton order has
+    # discontinuities, so a merge must also pass a box-growth test — the
+    # union AABB may not balloon past a small fraction of the mesh box
+    # (an oversized tile is hit by every ray: the junk-tile failure mode
+    # this pavement exists to remove).
+    WINDOW = 8
+    mesh_vol = float(np.prod(cut.mx.max(axis=0) - cut.mn.min(axis=0)))
+    MAX_TILE_VOL = 0.02 * mesh_vol
+    groups: list[list] = []  # [cluster ids, size, mn(3,), mx(3,)]
+    for ci in order:
+        size = int(cut.ends[ci] - cut.starts[ci])
+        placed = False
+        for g in groups[-WINDOW:]:
+            if g[1] + size > TILE_T:
+                continue
+            mn = np.minimum(g[2], cut.mn[ci])
+            mx = np.maximum(g[3], cut.mx[ci])
+            if float(np.prod(mx - mn)) > MAX_TILE_VOL:
+                continue
+            g[0].append(ci)
+            g[1] += size
+            g[2], g[3] = mn, mx
+            placed = True
+            break
+        if not placed:
+            groups.append([[ci], size, cut.mn[ci].copy(), cut.mx[ci].copy()])
+    nc = len(groups)
     slot_src = np.full(nc * TILE_T, -1, np.int32)
-    for j, (s, e) in enumerate(zip(cut.starts, cut.ends)):
-        slot_src[j * TILE_T : j * TILE_T + (e - s)] = np.arange(s, e)
+    for j, (cids, _size, _mn, _mx) in enumerate(groups):
+        k = j * TILE_T
+        for ci in cids:
+            s, e = int(cut.starts[ci]), int(cut.ends[ci])
+            slot_src[k : k + (e - s)] = np.arange(s, e)
+            k += e - s
     return slot_src, nc
 
 
@@ -136,54 +178,54 @@ def build_pairs_tables(A, B, C, bvh) -> PairsMeshTables:
     )
 
 
-def _ray_features16(O: Vec3, u: Vec3) -> jnp.ndarray:
-    """(R, 16): [u(3), w=O x u(3), O(3), 1/u(3), 0(4)] (shared layout with
-    ops/pallas_trace)."""
-    from raytracinggpu_tpu.ops.pallas_trace import _ray_features16 as rf16
+def _ray_feature_rows(O: Vec3, u: Vec3) -> jnp.ndarray:
+    """(16, R) ray-feature ROWS: [u(3), w=O x u(3), O(3), 0(7)].
 
-    return rf16(O, u)
+    Row-major on purpose: stacking (R,) components along axis 0 is a
+    concatenation (full-bandwidth), while the (R, 16) column form is an
+    interleave that XLA executes at row rate (~5 cycles/row — measured
+    1.4-1.9 ms per 262k-ray cast).  The kernel transposes one (16, blk)
+    block to (blk, 16) in VMEM per program instead."""
+    w = O.cross(u)
+    z = jnp.zeros_like(u.x)
+    return jnp.stack(
+        [u.x, u.y, u.z, w.x, w.y, w.z, O.x, O.y, O.z,
+         z, z, z, z, z, z, z], axis=0,
+    )
 
 
-def _pair_lists(O, u, aabb, nc, subg, blk, maxp, cap=None):
-    """XLA-side culling: per-block front-packed (subgroup, tile) pair lists.
+# de Bruijn sequence for in-kernel lowest-set-bit extraction (the scalar
+# core walks bitmask words; ctz has no primitive, so (low * M) >> 27 indexes
+# this 32-entry table).
+_DEBRUIJN_M = np.int32(0x077CB531)
+_DEBRUIJN_TABLE = np.zeros(32, np.int32)
+for _i in range(32):
+    _DEBRUIJN_TABLE[((((1 << _i) * 0x077CB531) & 0xFFFFFFFF) >> 27) & 31] = _i
 
-    Returns (n_blocks, 1 + maxp) int32 rows [count | ids]; ids encode
-    sg * 256 + tile, sorted ascending by (sg, tile); count == -1 flags
-    overflow (the kernel then sweeps all combinations densely).
 
-    Compaction is cumsum + one pair-count-scale scatter — an argsort over
-    the (n_sg * nc)-wide mask rows costs ~10x more (row-rate sorts).
+def _pair_bits(O, u, aabb, nc, subg, blk, cap=None):
+    """XLA-side culling to a packed per-subgroup active-tile bitmask.
+
+    Returns (W, S) int32: bit j of word (w, sg) set iff tile 32w+j is
+    active for subgroup sg.  Pure vector math — the previous front-packed
+    pair lists needed an (S * nc)-row scatter that ran at row rate
+    (~1.8 ms/cast); the kernel now walks the bits on the scalar core,
+    which dual-issues with the VPU's pair math.
     """
     R = O.x.shape[0]
-    n_blocks = R // blk
-    n_sg = blk // subg
-    maxp = min(maxp, n_sg * nc)
-    S = R // subg                                           # total subgroups
+    S = R // subg
+    W = -(-nc // 32)
     enter, _exit, hit = slab_enter_exit(O, u, aabb, nc)
     if cap is not None:
         hit = hit & (enter <= cap[None, :])
-    m = hit.reshape(nc, S, subg).any(axis=2).T              # (S, nc)
-    mi = m.astype(jnp.int32)
-    # rank of each active (sg, tile) pair within its subgroup row
-    rank = jnp.cumsum(mi, axis=1) - mi                      # exclusive
-    cnt_sg = mi.sum(axis=1)                                 # (S,)
-    csg = jnp.cumsum(cnt_sg) - cnt_sg                       # exclusive, (S,)
-    block_of_sg = jnp.arange(S, dtype=jnp.int32) // n_sg
-    base = csg.reshape(n_blocks, n_sg)[:, 0]                # block start
-    pos = (csg - base[block_of_sg])[:, None] + rank         # pos within block
-
-    sg_local = (jnp.arange(S, dtype=jnp.int32) % n_sg)[:, None]
-    ids = sg_local * 256 + jnp.arange(nc, dtype=jnp.int32)[None, :]
-    dest_b = jnp.broadcast_to(block_of_sg[:, None], (S, nc))
-    dest_p = jnp.where(m, jnp.minimum(pos, maxp - 1), maxp)  # drop inactives
-
-    lists = jnp.zeros((n_blocks, 1 + maxp), jnp.int32)
-    lists = lists.at[dest_b.reshape(-1), 1 + dest_p.reshape(-1)].set(
-        ids.reshape(-1).astype(jnp.int32), mode="drop"
-    )
-    counts = (csg + cnt_sg).reshape(n_blocks, n_sg)[:, -1] - base
-    counts = jnp.where(counts > maxp, -1, counts)
-    return lists.at[:, 0].set(counts)
+    mi = hit.reshape(nc, S, subg).any(axis=2).astype(jnp.int32)  # (nc, S)
+    words = []
+    for w in range(W):
+        acc = jnp.zeros((S,), jnp.int32)
+        for j in range(min(32, nc - 32 * w)):
+            acc = acc | (mi[32 * w + j] << j)
+        words.append(acc)
+    return jnp.stack(words, axis=0)                              # (W, S)
 
 
 def _mt_tile(rf_ref, tri_ref, rows, off, eps_leaf):
@@ -212,67 +254,78 @@ def _mt_tile(rf_ref, tri_ref, rows, off, eps_leaf):
     return jnp.where(valid, tval, INF), row(16)
 
 
-def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc,
-                  pairs_ref, rf_ref, tri_ref, *refs):
-    """One flat dynamic loop over the block's (subgroup, tile) pairs.
+def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W,
+                  bits_ref, dbj_ref, rfT_ref, tri_ref, *refs):
+    """Bitmask-driven pair walk for one ray block.
 
-    Scratch t_run (blk, 128) carries the per-(ray, lane) running min across
-    pairs; visits arrive sorted by (sg, tile) ascending, and cluster slots
-    are ascending in original id, so a strict `<` update + per-row min over
-    the id scratch reproduces the reference's lowest-index tie-break."""
+    The scalar core iterates (subgroup, word) and extracts set bits with
+    the de Bruijn trick, issuing one (subg, 128) Moller-Trumbore visit per
+    active tile; scalar bookkeeping dual-issues under the VPU math.
+    Scratch t_run (blk, 128) carries the per-(ray, lane) running min; the
+    update is lexicographic on (t, original id) and the epilogue takes the
+    min id among tied lanes, reproducing the reference's lowest-index
+    tie-break (global_launcher.cu:268-278) for any visit order."""
     if track_idx:
-        t_ref, idx_ref, t_run, idx_run = refs
+        t_ref, idx_ref, rf_s, t_run, idx_run = refs
     else:
-        (t_ref, t_run) = refs
+        t_ref, rf_s, t_run = refs
         idx_ref = idx_run = None
     b = pl.program_id(0)
+    n_sg = blk // subg
+    # one in-VMEM transpose per block: (16, blk) rows -> (blk, 16) columns
+    rf_s[:] = rfT_ref[0].T
     t_run[:] = jnp.full((blk, TILE_T), INF, jnp.float32)
-    if track_idx:
-        idx_run[:] = jnp.full((blk, TILE_T), _IDX_BIG, jnp.int32)
+    # idx_run is NOT initialized: every (ray, lane) slot with t_run < INF was
+    # written by some visit, which wrote idx_run too; the epilogue only
+    # reads idx_run where t_run < INF, so stale scratch is never observed
+    # (saves a 2 MB fill per block).  Ids are kept as f32 (exact: < 2^24) —
+    # the tile's id row is already f32, so the visit update has no casts.
 
-    def visit(sg, tile, c):
+    def visit(sg, tile):
         rows = pl.ds(sg * subg, subg)
         off = pl.multiple_of(tile * TILE_T, TILE_T)
-        t, oid = _mt_tile(rf_ref, tri_ref, rows, off, eps_leaf)
+        t, oid = _mt_tile(rf_s, tri_ref, rows, off, eps_leaf)
         if track_idx:
-            upd = t < t_run[rows, :]
-            t_run[rows, :] = jnp.where(upd, t, t_run[rows, :])
-            idx_run[rows, :] = jnp.where(
-                upd, oid.astype(jnp.int32), idx_run[rows, :]
-            )
+            # lexicographic (t, original id): packed tiles are not visited
+            # in ascending-id order, so equal-t ties must compare ids to
+            # keep the reference's lowest-index winner
+            # (global_launcher.cu:268-278)
+            t_old = t_run[rows, :]
+            i_old = idx_run[rows, :]
+            upd = (t < t_old) | ((t == t_old) & (oid < i_old))
+            t_run[rows, :] = jnp.where(upd, t, t_old)
+            idx_run[rows, :] = jnp.where(upd, oid, i_old)
         else:
             t_run[rows, :] = jnp.minimum(t_run[rows, :], t)
+
+    def sgw_body(i, c):
+        sg = i // W
+        w = i - sg * W
+        word0 = bits_ref[w, b * n_sg + sg]
+
+        def cond(word):
+            return word != 0
+
+        def body(word):
+            low = word & -word
+            j = dbj_ref[((low * _DEBRUIJN_M) >> 27) & 31]
+            visit(sg, w * 32 + j)
+            return word & (word - 1)
+
+        jax.lax.while_loop(cond, body, word0)
         return c
 
-    count = pairs_ref[b, 0]
-
-    @pl.when(count >= 0)
-    def _listed():
-        def body(i, c):
-            p = pairs_ref[b, 1 + i]
-            return visit(p >> 8, p & 255, c)
-
-        jax.lax.fori_loop(0, count, body, 0)
-
-    @pl.when(count < 0)
-    def _overflow():
-        # Dense sweep (rare): every (subgroup, tile) combination.
-        n_sg = blk // subg
-
-        def body(i, c):
-            return visit(i // nc, i % nc, c)
-
-        jax.lax.fori_loop(0, n_sg * nc, body, 0)
+    jax.lax.fori_loop(0, n_sg * W, sgw_body, 0)
 
     for r in range(blk // TILE_T):
         sl = pl.ds(r * TILE_T, TILE_T)
         t_min = jnp.min(t_run[sl, :], axis=1)
         t_ref[r : r + 1, :] = t_min.reshape(1, TILE_T)
         if track_idx:
-            win = t_run[sl, :] == t_min[:, None]
+            win = (t_run[sl, :] == t_min[:, None]) & (t_run[sl, :] < INF)
             idx = jnp.min(
-                jnp.where(win, idx_run[sl, :], _IDX_BIG), axis=1
-            )
+                jnp.where(win, idx_run[sl, :], float(_IDX_BIG)), axis=1
+            ).astype(jnp.int32)
             idx_ref[r : r + 1, :] = (
                 jnp.where(idx == _IDX_BIG, 0, idx).reshape(1, TILE_T)
             )
@@ -282,27 +335,36 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc,
     jax.jit,
     static_argnames=("eps_leaf", "track_idx", "subg", "blk", "nc", "interpret"),
 )
-def _pairs_call(rf, fields, pairs, eps_leaf, track_idx, subg, blk, nc,
+def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
                 interpret):
-    R = rf.shape[0]
+    R = rfT.shape[1]
+    W = bits.shape[0]
+    # Chunk the feature rows per block: a (16, blk) slice of (16, R) is 16
+    # strided segments whose DMA is latency-bound (measured ~1 ms/cast);
+    # (nb, 16, blk) makes each block's features one contiguous transfer.
+    # The permute is major-dim only (minor stays blk) — full-bandwidth.
+    rfT = jnp.moveaxis(rfT.reshape(16, R // blk, blk), 1, 0)
     out_specs = [
         pl.BlockSpec((blk // TILE_T, TILE_T), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((R // TILE_T, TILE_T), jnp.float32)]
-    scratch = [pltpu.VMEM((blk, TILE_T), jnp.float32)]
+    scratch = [
+        pltpu.VMEM((blk, 16), jnp.float32),
+        pltpu.VMEM((blk, TILE_T), jnp.float32),
+    ]
     if track_idx:
         out_specs.append(
             pl.BlockSpec((blk // TILE_T, TILE_T), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((R // TILE_T, TILE_T), jnp.int32))
-        scratch.append(pltpu.VMEM((blk, TILE_T), jnp.int32))
+        scratch.append(pltpu.VMEM((blk, TILE_T), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # bitmask words + de Bruijn table
         grid=(R // blk,),
         in_specs=[
-            pl.BlockSpec((blk, 16), lambda i, *_: (i, 0),
+            pl.BlockSpec((1, 16, blk), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_FIELDS, fields.shape[1]), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -310,10 +372,11 @@ def _pairs_call(rf, fields, pairs, eps_leaf, track_idx, subg, blk, nc,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    kernel = functools.partial(_pairs_kernel, eps_leaf, track_idx, subg, blk, nc)
+    kernel = functools.partial(
+        _pairs_kernel, eps_leaf, track_idx, subg, blk, nc, W)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
-    )(pairs, rf, fields)
+    )(bits, jnp.asarray(_DEBRUIJN_TABLE), rfT, fields)
     if track_idx:
         return out[0].reshape(-1), out[1].reshape(-1)
     return out[0].reshape(-1)
@@ -339,17 +402,16 @@ def intersect_tris_pairs(
     interpret: bool = False,
     subg: int = DEF_SUBG,
     blk: int = DEF_BLK,
-    maxp: int = DEF_MAXP,
 ) -> TriHit:
     """Closest hit over the cluster-tiled mesh.  Returns TriHit with the
     ORIGINAL (BVH-order) triangle index — drop-in compatible with the
     pallas mode's winner recovery (normals, barycentrics)."""
     O, u, cap, R, pad = _prep(O, u, cap, blk)
-    rf = _ray_features16(O, u)
+    rfT = _ray_feature_rows(O, u)
     nc = tab.tile_aabb.shape[0]
-    pairs = _pair_lists(O, u, tab.tile_aabb, nc, subg, blk, maxp, cap=cap)
+    bits = _pair_bits(O, u, tab.tile_aabb, nc, subg, blk, cap=cap)
     t, idx = _pairs_call(
-        rf, tab.fields, pairs, float(eps_leaf), True, subg, blk, nc, interpret
+        rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc, interpret
     )
     if pad:
         t, idx = t[:R], idx[:R]
@@ -366,16 +428,15 @@ def intersect_tris_pairs_shadow(
     interpret: bool = False,
     subg: int = DEF_SUBG,
     blk: int = DEF_BLK,
-    maxp: int = DEF_MAXP,
 ):
     """Nearest mesh hit distance only (occlusion query; the reference's
     shadow test needs any hit with t^2 <= |L-P|^2,
     global_launcher.cu:795-799 — ``cap`` culls tiles beyond the light)."""
     O, u, cap, R, pad = _prep(O, u, cap, blk)
-    rf = _ray_features16(O, u)
+    rfT = _ray_feature_rows(O, u)
     nc = tab.tile_aabb.shape[0]
-    pairs = _pair_lists(O, u, tab.tile_aabb, nc, subg, blk, maxp, cap=cap)
+    bits = _pair_bits(O, u, tab.tile_aabb, nc, subg, blk, cap=cap)
     t = _pairs_call(
-        rf, tab.fields, pairs, float(eps_leaf), False, subg, blk, nc, interpret
+        rfT, tab.fields, bits, float(eps_leaf), False, subg, blk, nc, interpret
     )
     return t[:R] if pad else t

@@ -164,8 +164,15 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
     R = u.x.shape[0]
     # pallas: chunks up to 2^17 rays so the scalar-prefetch tile lists fit
     # the ~1MB SMEM budget even with int16 ids (large --obj meshes);
-    # dense: cfg.ray_chunk bounds the matmul intermediates.
-    chunk = min(R, 131072) if cfg.traversal == "pallas" else min(cfg.ray_chunk, R)
+    # pairs: lists cost (R/pairs_block)*(1+maxp)*4 bytes of SMEM -> 2^18
+    # rays fit in half the budget; dense: cfg.ray_chunk bounds the matmul
+    # intermediates.
+    if cfg.traversal == "pallas":
+        chunk = min(R, 131072)
+    elif cfg.traversal == "pairs":
+        chunk = min(R, cfg.pairs_chunk)
+    else:
+        chunk = min(cfg.ray_chunk, R)
     # uniforms (D, 2, R) -> (n_chunks, D, 2, chunk)
     un = jnp.moveaxis(uniforms, -1, 0)       # (R, D, 2)
     un = _pad_chunks(un, chunk)              # (nc, chunk, D, 2)

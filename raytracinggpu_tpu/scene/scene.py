@@ -83,7 +83,11 @@ class RenderConfig:
     camera_point_quirk: bool = False  # realtime adds cam.C into the direction
     n_objects: int = 7
     mesh_object_id: int = 6     # -1 when the scene has no mesh
-    traversal: str = "dense"    # dense | pallas | pairs | bvh (see ops/)
+    traversal: str = "pairs"    # pairs (production) | pallas | dense | bvh
+                                # — the pair-compaction kernel wins every
+                                # measured workload (PERF_NOTES.md), so the
+                                # compaction path is the default the north
+                                # star asks for; dense/bvh are oracles
     ray_sort: bool = False      # sort rays into beam families before the
                                 # pallas kernel (ablation mode; see
                                 # ops/pallas_trace.ray_sort_key — for the cat
@@ -104,8 +108,10 @@ class RenderConfig:
                                 # and the flat pair loop makes small sizes
                                 # affordable — ops/pairs_trace.py)
     pairs_block: int = 4096     # rays per pairs-kernel program
-    pairs_maxp: int = 2048      # pair-list capacity per block (overflowing
-                                # blocks fall back to a dense sweep)
+    pairs_chunk: int = 262144   # rays per cast in pairs mode (the culling
+                                # bitmask costs R/subg/8 bytes of SMEM, so
+                                # casts can be far larger than the pallas
+                                # mode's 2^17 SMEM-bounded chunks)
     bvh_max_leaf: int = 96      # static leaf-unroll bound for traversal
                                 # mode 'bvh' (degenerate midpoint partitions
                                 # can leave big leaves; the cat's worst is

@@ -17,7 +17,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for preset in PRESET_NAMES:
-        cfg, tables = build_preset(preset, width=48, height=48, spp=2, max_depth=2)
+        cfg, tables = build_preset(preset, width=48, height=48, spp=2, max_depth=2, traversal="dense")
         img, _ = render_preset_frame(tables, cfg, seed=0)
         np.save(os.path.join(GOLDEN_DIR, f"{preset}_48.npy"), img.astype(np.float32))
         write_png(os.path.join(GOLDEN_DIR, f"{preset}_48.png"), tonemap(img))

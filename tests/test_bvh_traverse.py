@@ -45,7 +45,7 @@ def test_bvh_mode_full_trace(cat_mesh_raw, rng):
     from tests.test_integrator import _camera_rays, _vec
 
     mesh = build_mesh(cat_mesh_raw)
-    cfg, tables = build_preset("array_bvh", mesh=mesh, spp=1, max_depth=2)
+    cfg, tables = build_preset("array_bvh", mesh=mesh, spp=1, max_depth=2, traversal="dense")
     W = H = 12
     cfg = dataclasses.replace(cfg, width=W, height=H)
     O, u = _camera_rays(W, H)

@@ -18,7 +18,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 def test_golden(preset):
     path = os.path.join(GOLDEN_DIR, f"{preset}_48.npy")
     golden = np.load(path)
-    cfg, tables = build_preset(preset, width=48, height=48, spp=2, max_depth=2)
+    cfg, tables = build_preset(preset, width=48, height=48, spp=2, max_depth=2, traversal="dense")
     img, _ = render_preset_frame(tables, cfg, seed=0)
     # Same platform/backend: expect near-bitwise; allow tiny fp wiggle from
     # XLA version-to-version fusion differences.

@@ -88,7 +88,7 @@ def test_trace_with_cat_mesh_matches_oracle(rng, cat_mesh_raw):
     verts = rescale(obj.vertices * 0.8 + np.array([0, -10, 0], np.float32), 0.6, (0, -4, 0))
     obj2 = dataclasses.replace(obj, vertices=verts)
     mesh = build_mesh(obj2)
-    cfg, tables = build_preset("global", mesh=mesh, spp=1, max_depth=2)
+    cfg, tables = build_preset("global", mesh=mesh, spp=1, max_depth=2, traversal="dense")
 
     A = verts[obj.vtx[:, 0]]
     B = verts[obj.vtx[:, 1]]

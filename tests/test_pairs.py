@@ -92,19 +92,24 @@ def test_shadow_matches_pallas(cat):
     np.testing.assert_array_equal(ta[m], tb[m])
 
 
-def test_overflow_fallback_exact(cat):
-    """Force list overflow (tiny maxp): the dense in-kernel sweep must give
-    identical results."""
+def test_bitmask_matches_bruteforce_tiles(cat):
+    """The packed culling bitmask must cover exactly the tiles whose AABB
+    the ray subgroup intersects (no silent drop: a cleared bit for an
+    intersected tile would lose hits)."""
+    from raytracinggpu_tpu.ops.pairs_trace import _pair_bits
+    from raytracinggpu_tpu.ops.pallas_trace import slab_enter_exit
+
     _, tables = cat
     O, u = _rays("scattered", 1024, seed=11)
-    full = intersect_tris_pairs(
-        O, u, tables.pairs_mesh, 1e-4, interpret=True, blk=1024, maxp=4096)
-    tiny = intersect_tris_pairs(
-        O, u, tables.pairs_mesh, 1e-4, interpret=True, blk=1024, maxp=8)
-    np.testing.assert_array_equal(np.asarray(full.t), np.asarray(tiny.t))
-    hit = np.asarray(full.t) < 1e9
-    np.testing.assert_array_equal(
-        np.asarray(full.idx)[hit], np.asarray(tiny.idx)[hit])
+    tab = tables.pairs_mesh
+    nc = tab.tile_aabb.shape[0]
+    subg, blk = 16, 1024
+    bits = np.asarray(_pair_bits(O, u, tab.tile_aabb, nc, subg, blk))
+    _, _, hit = slab_enter_exit(O, u, tab.tile_aabb, nc)
+    want = np.asarray(hit).reshape(nc, -1, subg).any(axis=2)   # (nc, S)
+    for j in range(nc):
+        got = (bits[j // 32] >> (j % 32)) & 1
+        np.testing.assert_array_equal(got.astype(bool), want[j])
 
 
 @pytest.mark.parametrize("subg,blk", [(8, 1024), (32, 2048), (64, 4096)])

@@ -79,7 +79,7 @@ def test_pallas_integrator_mode_matches_dense(cat_mesh_raw, rng):
     from tests.test_integrator import _camera_rays, _vec
 
     mesh = build_mesh(cat_mesh_raw)
-    cfg, tables = build_preset("array_bvh", mesh=mesh, spp=1, max_depth=2)
+    cfg, tables = build_preset("array_bvh", mesh=mesh, spp=1, max_depth=2, traversal="dense")
     W = H = 16
     cfg = dataclasses.replace(cfg, width=W, height=H)
     O, u = _camera_rays(W, H)

@@ -48,7 +48,7 @@ def test_realtime_config_matches_oracle(cat_mesh_raw, rng):
     verts = rescale(obj.vertices, 0.6, (0, -10, 0))
     obj2 = dataclasses.replace(obj, vertices=verts)
     mesh = build_mesh(obj2)
-    cfg, tables = build_preset("realtime", mesh=mesh)
+    cfg, tables = build_preset("realtime", mesh=mesh, traversal="dense")
     W = H = 20
     cfg = dataclasses.replace(cfg, width=W, height=H, spp=1, max_depth=2,
                               traversal="pallas")
