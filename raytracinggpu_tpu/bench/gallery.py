@@ -1,0 +1,185 @@
+"""Regenerate the measured-results gallery on real TPU hardware.
+
+Produces (under gallery/):
+- tpu_results.json — steady-state frame times + Mray/s for every reference
+  launcher config (benchmark.py protocol: best of repeats after warmup),
+  the config-5 realtime rows (spp20/depth3 at 512x512 and 800x600, batched
+  ``steps`` so the ~29 ms/dispatch host overhead is amortized), and the
+  progressive-accumulation rows (spp/frame reduced, converging display —
+  the honest path to interactive rates the reference's own hardware used),
+- ablations.json — named benchmark modes over the TPU-relevant axes
+  (SURVEY.md §2.11 mapping): traversal kernel, pairs subgroup, pairs block,
+  ray sorting, MXU precision, spp fusing, BVH builder.
+
+Usage: python -m raytracinggpu_tpu.bench.gallery [--out gallery/] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import replace
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+def _steady(fn, repeats=3):
+    fn(0)  # warm/compile
+    times = []
+    for i in range(1, repeats + 1):
+        t0 = time.perf_counter()
+        fn(i)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def frame_rows(quick=False):
+    from raytracinggpu_tpu.render.pipeline import (
+        Camera, render_frame, rays_per_frame)
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    rows = {}
+    for preset in ("cpu", "global", "optimized", "array_bvh", "showcase"):
+        cfg, tables = build_preset(preset)
+        if quick:
+            cfg = replace(cfg, spp=4)
+        cam = Camera.fixed(cfg.camera_c)
+
+        def run(i):
+            img, _ = render_frame(tables, cfg, cam, jax.random.PRNGKey(i))
+            img.block_until_ready()
+
+        dt = _steady(run)
+        rows[preset] = {
+            "spp": cfg.spp, "depth": cfg.max_depth,
+            "steady_s": round(dt, 3),
+            "mrays_formula": round(rays_per_frame(cfg) / dt / 1e6, 1),
+        }
+        print(preset, rows[preset], flush=True)
+    return rows
+
+
+def realtime_rows(quick=False):
+    """Config-5 work (spp=20, depth=3, realtime_render.cu:1264-1265) via the
+    batched steps() API, plus progressive-accumulation modes."""
+    from raytracinggpu_tpu.render.realtime import init_state, steps
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    rows = {}
+    n = 4 if quick else 10
+    cases = [
+        ("realtime_512x512", 512, 512, 20, 3),
+        ("realtime_800x600", 800, 600, 20, 3),
+        ("progressive_512x512_spp4", 512, 512, 4, 3),
+        ("progressive_800x600_spp2", 800, 600, 2, 3),
+        ("progressive_800x600_spp1_d2", 800, 600, 1, 2),
+    ]
+    for name, w, h, spp, depth in cases:
+        cfg, tables = build_preset(
+            "realtime", width=w, height=h, spp=spp, max_depth=depth)
+        state = init_state(cfg, tables, seed=0)
+        state, frames = steps(tables, cfg, n, state)
+        frames.block_until_ready()  # compile + warm
+        t0 = time.perf_counter()
+        state, frames = steps(tables, cfg, n, state)
+        frames.block_until_ready()
+        dt = (time.perf_counter() - t0) / n
+        rows[name] = {
+            "spp": spp, "depth": depth,
+            "ms_per_frame": round(dt * 1e3, 1),
+            "fps": round(1.0 / dt, 2),
+            "note": "batched steps(), progressive accumulation"
+            if spp < 20 else "batched steps(), full config-5 work per frame",
+        }
+        print(name, rows[name], flush=True)
+    return rows
+
+
+def ablation_rows(quick=False):
+    """Named benchmark modes (the different-versions/*.cu analog)."""
+    from raytracinggpu_tpu.render.pipeline import (
+        Camera, render_frame, rays_per_frame)
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    base_over = dict(spp=8 if quick else 32, max_depth=5)
+    cfg0, tables = build_preset("array_bvh", **base_over)
+    cam = Camera.fixed(cfg0.camera_c)
+
+    modes = {
+        "pairs_s16(default)": {},
+        "pairs_s8": {"pairs_subgroup": 8},
+        "pairs_s32": {"pairs_subgroup": 32},
+        "pairs_s64": {"pairs_subgroup": 64},
+        "pairs_blk1024": {"pairs_block": 1024},
+        "pairs_blk8192": {"pairs_block": 8192},
+        "pallas_tiled_s64": {"traversal": "pallas"},
+        "pallas_s32": {"traversal": "pallas", "pallas_subgroup": 32},
+        "pallas_raysort": {"traversal": "pallas", "ray_sort": True},
+        "dense_mxu_highest": {"traversal": "dense"},
+        "dense_mxu_bf16x3": {"traversal": "dense", "mxu_precision": "default"},
+        "bvh_skiplinks": {"traversal": "bvh"},
+        "spp_fuse1": {"spp_fuse": 1},
+        "spp_fuse8": {"spp_fuse": 8},
+    }
+    rows = {}
+    for name, over in modes.items():
+        cfg = replace(cfg0, **over)
+
+        def run(i):
+            img, _ = render_frame(tables, cfg, cam, jax.random.PRNGKey(i))
+            img.block_until_ready()
+
+        try:
+            dt = _steady(run, repeats=2)
+            rows[name] = {
+                "steady_s": round(dt, 3),
+                "mrays": round(rays_per_frame(cfg) / dt / 1e6, 1),
+            }
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            rows[name] = {"error": f"{type(e).__name__}: {e}"[:120]}
+        print(name, rows[name], flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="gallery")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma list: frames,realtime,ablations")
+    a = ap.parse_args()
+
+    import threading
+
+    import jax.numpy as jnp
+
+    threading.Thread(
+        target=lambda: np.asarray(jnp.zeros((2,))), daemon=True
+    ).start()
+
+    only = a.only.split(",") if a.only else ["frames", "realtime", "ablations"]
+    if "frames" in only or "realtime" in only:
+        results = {}
+        if "frames" in only:
+            results.update(frame_rows(a.quick))
+        if "realtime" in only:
+            results.update(realtime_rows(a.quick))
+        path = f"{a.out}/tpu_results.json"
+        try:
+            old = json.load(open(path))
+        except Exception:
+            old = {}
+        old.update(results)
+        json.dump(old, open(path, "w"), indent=1)
+        print("wrote", path)
+    if "ablations" in only:
+        rows = ablation_rows(a.quick)
+        json.dump(rows, open(f"{a.out}/ablations.json", "w"), indent=1)
+        print("wrote ablations.json")
+
+
+if __name__ == "__main__":
+    main()
