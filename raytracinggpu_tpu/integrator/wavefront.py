@@ -139,11 +139,18 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
     return Hit(t=t, obj=obj, N=N, P=P)
 
 
-def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, Lv: Vec3):
+def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3,
+                       Lv: Vec3, active=None):
     """Nearest-hit distance for the shadow ray (occlusion only needs t to
     compare against |L - P_adj|^2, global_launcher.cu:795-799).  The pallas
     mode uses the cheaper any-hit kernel with a per-ray distance cap; other
-    modes reuse the full closest-hit."""
+    modes reuse the full closest-hit.
+
+    active: (R,) bool — lanes whose occlusion result is provably unused
+    (non-diffuse, missed, or N.wl <= 0 so the direct term is exactly zero,
+    global_launcher.cu:800-807).  The pairs kernel skips their mesh pair
+    work entirely; the returned distance on inactive lanes is then the
+    sphere-only distance, which the integrator never reads."""
     if scene.mesh is not None and cfg.traversal == "pallas":
         from raytracinggpu_tpu.ops.pallas_trace import intersect_tris_shadow
 
@@ -165,7 +172,7 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, 
         t_mesh = intersect_tris_pairs_shadow(
             O, u, scene.pairs_mesh, cfg.eps_leaf,
             cap=Lv.norm(), interpret=interpret, subg=cfg.pairs_subgroup,
-            blk=cfg.pairs_block,
+            blk=cfg.pairs_block, active=active,
         )
         return jnp.minimum(t_sph, t_mesh)
     sh = intersect_all(scene, cfg, O, u)
@@ -244,14 +251,21 @@ def trace(
         P_adj = P + N * eps
         Lv = scene.L - P_adj
         shadow_dir = Lv.normalized()
-        t_sh = occlusion_distance(scene, cfg, P_adj, shadow_dir, Lv)
-        occluded = t_sh * t_sh <= Lv.norm2()
-
         LP = scene.L - P
         wl = LP.normalized()
+        ndwl = N.dot(wl)
+        # Shadow work is provably unused where the lane is not diffuse or
+        # the light is behind the surface (max(N.wl, 0) = 0 makes the
+        # direct term exactly zero, global_launcher.cu:800-807) — the
+        # kernel skips those lanes' pair work; the image is bit-identical.
+        sh_active = is_diff & (ndwl > 0.0)
+        t_sh = occlusion_distance(
+            scene, cfg, P_adj, shadow_dir, Lv, active=sh_active)
+        occluded = t_sh * t_sh <= Lv.norm2()
+
         lum = (
             scene.intensity / (4.0 * PI * LP.norm2())
-            * jnp.maximum(N.dot(wl), 0.0)
+            * jnp.maximum(ndwl, 0.0)
         )
         alb = vgather(mats.albedo, oid)
         lit = is_diff & (~occluded)
@@ -280,7 +294,10 @@ def trace(
                 jnp.sum(is_refr),
                 jnp.sum(is_tir),
                 jnp.sum(is_diff),
-                jnp.sum(is_diff & occluded),
+                # counted only where the shadow query is meaningful, so the
+                # stat is identical across traversal modes (masked lanes'
+                # occlusion is undefined in pairs mode)
+                jnp.sum(sh_active & occluded),
             ]
         ).astype(jnp.int32)
         out = (is_diff, direct, alb, counts)
