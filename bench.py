@@ -43,9 +43,11 @@ def main() -> None:
     cam = Camera.fixed(cfg.camera_c)
     key = jax.random.PRNGKey(0)
 
-    # Warmup / compile.
+    # Warmup / compile — then force one SYNCHRONOUS device->host transfer:
+    # on this runtime block_until_ready silently no-ops until the process's
+    # first D2H completes, so timing without this can measure nothing.
     img, stats = render_frame(tables, cfg, cam, key)
-    img.block_until_ready()
+    np.asarray(img[0, 0])
 
     times = []
     for i in range(3):

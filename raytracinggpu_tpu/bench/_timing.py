@@ -20,9 +20,28 @@ import time
 import jax
 import jax.numpy as jnp
 
+_tunnel_warm = False
+
+
+def ensure_sync() -> None:
+    """Complete one SYNCHRONOUS device->host transfer in this process.
+
+    On the axon runtime ``block_until_ready`` silently returns immediately
+    until the process's first D2H finishes (the tunnel warmup, 130-420 s) —
+    any wall-clock timing taken before that measures nothing.  Every timing
+    helper calls this first; it costs one tiny transfer once per process.
+    """
+    global _tunnel_warm
+    if not _tunnel_warm:
+        import numpy as np
+
+        np.asarray(jnp.zeros((2,)))
+        _tunnel_warm = True
+
 
 def timed_scan(fn, args, iters: int = 30, warm: int = 1) -> float:
     """Per-iteration wall time (seconds) of fn(*args) inside a jitted scan."""
+    ensure_sync()
 
     def perturb(leaf, c):
         if not hasattr(leaf, "dtype"):

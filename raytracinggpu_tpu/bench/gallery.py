@@ -27,11 +27,15 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 
 def _steady(fn, repeats=3):
-    fn(0)  # warm/compile
+    """fn(i) must RETURN the frame array; the warm call is synced with an
+    explicit tiny device->host read (block_until_ready silently no-ops
+    before the process's first D2H on this runtime — timing without the
+    sync measures nothing; see bench/_timing.ensure_sync)."""
+    np.asarray(fn(0)[0, 0])  # warm/compile + synchronous tunnel warmup
     times = []
     for i in range(1, repeats + 1):
         t0 = time.perf_counter()
-        fn(i)
+        fn(i).block_until_ready()
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -50,7 +54,7 @@ def frame_rows(quick=False):
 
         def run(i):
             img, _ = render_frame(tables, cfg, cam, jax.random.PRNGKey(i))
-            img.block_until_ready()
+            return img
 
         dt = _steady(run)
         rows[preset] = {
@@ -82,7 +86,7 @@ def realtime_rows(quick=False):
             "realtime", width=w, height=h, spp=spp, max_depth=depth)
         state = init_state(cfg, tables, seed=0)
         state, frames = steps(tables, cfg, n, state)
-        frames.block_until_ready()  # compile + warm
+        np.asarray(frames[0, 0, 0])  # compile + warm + synchronous D2H
         t0 = time.perf_counter()
         state, frames = steps(tables, cfg, n, state)
         frames.block_until_ready()
@@ -98,48 +102,68 @@ def realtime_rows(quick=False):
     return rows
 
 
-def ablation_rows(quick=False):
-    """Named benchmark modes (the different-versions/*.cu analog)."""
+# Named benchmark modes (the different-versions/*.cu analog).  The
+# "bvh_skiplinks" oracle is ~400x slower than the pairs kernel on TPU
+# (gather-bound lockstep walk, see ops/bvh_traverse.py): at the full
+# 512^2/spp32/d5 protocol ONE XLA program would run for tens of minutes and
+# the runtime's execution deadline kills the TPU worker ("kernel fault").
+# It is therefore measured at a reduced size, flagged in its row.
+ABLATION_MODES = {
+    "pairs_s16(default)": {},
+    "pairs_s8": {"pairs_subgroup": 8},
+    "pairs_s32": {"pairs_subgroup": 32},
+    "pairs_s64": {"pairs_subgroup": 64},
+    "pairs_blk1024": {"pairs_block": 1024},
+    "pairs_blk8192": {"pairs_block": 8192},
+    "pallas_tiled_s64": {"traversal": "pallas"},
+    "pallas_s32": {"traversal": "pallas", "pallas_subgroup": 32},
+    "pallas_raysort": {"traversal": "pallas", "ray_sort": True},
+    "dense_mxu_highest": {"traversal": "dense"},
+    "dense_mxu_bf16x3": {"traversal": "dense", "mxu_precision": "default"},
+    "bvh_skiplinks": {"traversal": "bvh", "_size": (128, 128, 2, 2),
+                      "_note": "oracle mode at 128^2/spp2/d2 — one full-"
+                               "protocol program exceeds the TPU execution "
+                               "deadline"},
+    "spp_fuse1": {"spp_fuse": 1},
+    "spp_fuse8": {"spp_fuse": 8},
+}
+
+
+def one_ablation_row(name: str, quick=False) -> dict:
+    """Measure a single named mode in THIS process."""
     from raytracinggpu_tpu.render.pipeline import (
         Camera, render_frame, rays_per_frame)
     from raytracinggpu_tpu.scene.presets import build_preset
 
-    base_over = dict(spp=8 if quick else 32, max_depth=5)
-    cfg0, tables = build_preset("array_bvh", **base_over)
+    over = dict(ABLATION_MODES[name])
+    note = over.pop("_note", None)
+    w, h, spp, depth = over.pop("_size", (512, 512, 8 if quick else 32, 5))
+    cfg0, tables = build_preset(
+        "array_bvh", width=w, height=h, spp=spp, max_depth=depth)
     cam = Camera.fixed(cfg0.camera_c)
+    cfg = replace(cfg0, **over)
 
-    modes = {
-        "pairs_s16(default)": {},
-        "pairs_s8": {"pairs_subgroup": 8},
-        "pairs_s32": {"pairs_subgroup": 32},
-        "pairs_s64": {"pairs_subgroup": 64},
-        "pairs_blk1024": {"pairs_block": 1024},
-        "pairs_blk8192": {"pairs_block": 8192},
-        "pallas_tiled_s64": {"traversal": "pallas"},
-        "pallas_s32": {"traversal": "pallas", "pallas_subgroup": 32},
-        "pallas_raysort": {"traversal": "pallas", "ray_sort": True},
-        "dense_mxu_highest": {"traversal": "dense"},
-        "dense_mxu_bf16x3": {"traversal": "dense", "mxu_precision": "default"},
-        "bvh_skiplinks": {"traversal": "bvh"},
-        "spp_fuse1": {"spp_fuse": 1},
-        "spp_fuse8": {"spp_fuse": 8},
+    def run(i):
+        img, _ = render_frame(tables, cfg, cam, jax.random.PRNGKey(i))
+        return img
+
+    dt = _steady(run, repeats=2)
+    row = {
+        "steady_s": round(dt, 3),
+        "mrays": round(rays_per_frame(cfg) / dt / 1e6, 1),
     }
+    if note:
+        row["note"] = note
+    return row
+
+
+def ablation_rows(quick=False):
     rows = {}
-    for name, over in modes.items():
-        cfg = replace(cfg0, **over)
-
-        def run(i):
-            img, _ = render_frame(tables, cfg, cam, jax.random.PRNGKey(i))
-            img.block_until_ready()
-
+    for name in ABLATION_MODES:
         try:
-            dt = _steady(run, repeats=2)
-            rows[name] = {
-                "steady_s": round(dt, 3),
-                "mrays": round(rays_per_frame(cfg) / dt / 1e6, 1),
-            }
+            rows[name] = one_ablation_row(name, quick)
         except Exception as e:  # pragma: no cover - hardware-dependent
-            rows[name] = {"error": f"{type(e).__name__}: {e}"[:120]}
+            rows[name] = {"error": f"{type(e).__name__}: {e}"[:160]}
         print(name, rows[name], flush=True)
     return rows
 
@@ -150,7 +174,14 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma list: frames,realtime,ablations")
+    ap.add_argument("--ablation-row", default=None,
+                    help="internal: measure ONE named mode, print one JSON "
+                         "line (used by the per-row subprocess isolation)")
     a = ap.parse_args()
+
+    if a.ablation_row:
+        print(json.dumps(one_ablation_row(a.ablation_row, a.quick)))
+        return
 
     import threading
 

@@ -32,6 +32,9 @@ def run_sweep(
     )
     from raytracinggpu_tpu.scene.presets import build_preset
 
+    from raytracinggpu_tpu.bench._timing import ensure_sync
+
+    ensure_sync()  # block_until_ready no-ops before the first D2H
     results = {}
     for b in bounces:
         for s in spps:

@@ -129,6 +129,9 @@ def cmd_render(args) -> int:
 
     if args.profile:
         run()  # compile outside the trace
+    from raytracinggpu_tpu.bench._timing import ensure_sync
+
+    ensure_sync()  # block_until_ready no-ops before the first D2H
     t0 = time.perf_counter()
     with device_trace(args.profile):
         img, stats = run()

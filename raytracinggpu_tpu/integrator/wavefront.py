@@ -169,9 +169,16 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3,
 
         interpret = jax.devices()[0].platform != "tpu"
         t_sph, _, _ = intersect_spheres(O, u, scene.spheres)
+        cap = Lv.norm()
+        # A lane a SPHERE already occludes (t_sph <= |Lv|) is occluded no
+        # matter what the mesh says (min(t_sph, t_mesh) only shrinks), so
+        # it needs no mesh pair work; the returned INF mesh distance leaves
+        # the occlusion predicate bit-identical.
+        if active is not None:
+            active = active & ~(t_sph * t_sph <= Lv.norm2())
         t_mesh = intersect_tris_pairs_shadow(
             O, u, scene.pairs_mesh, cfg.eps_leaf,
-            cap=Lv.norm(), interpret=interpret, subg=cfg.pairs_subgroup,
+            cap=cap, interpret=interpret, subg=cfg.pairs_subgroup,
             blk=cfg.pairs_block, active=active,
         )
         return jnp.minimum(t_sph, t_mesh)

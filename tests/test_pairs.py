@@ -92,6 +92,32 @@ def test_shadow_matches_pallas(cat):
     np.testing.assert_array_equal(ta[m], tb[m])
 
 
+def test_shadow_active_mask(cat):
+    """Relevance masking: active lanes' distances are unchanged by the mask;
+    masked lanes do no mesh work and return INF (their occlusion result is
+    provably unused by the integrator — wavefront.py sh_active)."""
+    _, tables = cat
+    R = 2000
+    O, u = _rays("scattered", R, seed=9)
+    active = jnp.asarray(np.random.default_rng(4).random(R) < 0.6)
+    full = intersect_tris_pairs_shadow(
+        O, u, tables.pairs_mesh, 1e-4, interpret=True, blk=1024)
+    masked = intersect_tris_pairs_shadow(
+        O, u, tables.pairs_mesh, 1e-4, interpret=True, blk=1024,
+        active=active)
+    am = np.asarray(active)
+    f, m = np.asarray(full), np.asarray(masked)
+    np.testing.assert_array_equal(m[am], f[am])
+    # masking is subgroup-granular: a masked lane may still be swept by its
+    # peers' tiles, but it can only ever see a SUBSET of tiles, so its
+    # nearest distance is monotonically >= the unmasked one; a lane in a
+    # fully-masked subgroup returns INF
+    assert (m >= f).all()
+    sg_all_masked = ~am.reshape(-1, 16).any(axis=1)
+    lanes = np.repeat(sg_all_masked, 16)
+    assert (m[lanes] >= 1e9).all()
+
+
 def test_bitmask_matches_bruteforce_tiles(cat):
     """The packed culling bitmask must cover exactly the tiles whose AABB
     the ray subgroup intersects (no silent drop: a cleared bit for an
