@@ -124,6 +124,11 @@ ABLATION_MODES = {
                       "_note": "oracle mode at 128^2/spp2/d2 — one full-"
                                "protocol program exceeds the TPU execution "
                                "deadline"},
+    "bvh_aos10": {"traversal": "bvh", "bvh_node_layout": "aos10",
+                  "_size": (128, 128, 2, 2),
+                  "_note": "node-layout ablation: reference 10-float AoS "
+                           "record, one row-gather per step (vs SoA "
+                           "columns); same reduced size as bvh_skiplinks"},
     "spp_fuse1": {"spp_fuse": 1},
     "spp_fuse8": {"spp_fuse": 8},
 }

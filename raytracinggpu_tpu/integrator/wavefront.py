@@ -114,6 +114,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             mh = intersect_tris_bvh(
                 O, u, scene.mesh, scene.bvh, cfg.eps_leaf,
                 max_leaf_tris=cfg.bvh_max_leaf,
+                node_layout=cfg.bvh_node_layout,
             )
         else:
             raise ValueError(f"unknown traversal mode {cfg.traversal!r}")

@@ -48,6 +48,7 @@ def intersect_tris_bvh(
     bvh: BVHTables,
     eps_leaf: float,
     max_leaf_tris: int = MAX_LEAF_TRIS,
+    node_layout: str = "soa",
 ) -> TriHit:
     """Closest hit via lockstep skip-link traversal.
 
@@ -56,17 +57,51 @@ def intersect_tris_bvh(
     behind-ray check, matching the GPU variants' unconditional pushes),
     and either descends (node+1) or skips the subtree.  Leaf lanes test
     up to MAX_LEAF_TRIS triangles via gathered MT features.
+
+    node_layout: "soa" gathers each node field from its own column array
+    (7 small gathers per step); "aos10" rebuilds the reference's 10-float
+    record [left, right, mn.xyz, mx.xyz, start, end]
+    (accel.bvh.FlatBVH.to_reference_layout, optimized.cu:512-534) and
+    fetches one (R, 10) row-gather per step — the node-layout / gather-
+    strategy ablation axis (SURVEY §2.11: the TPU analog of the
+    shared/texture memory-placement variants).  Both produce bit-identical
+    hits; the skip link (this design's stackless addition) always rides a
+    separate int column.
     """
     R = O.x.shape[0]
     n_nodes = bvh.left.shape[0]
     f = ray_features(O, u)  # (R, 10)
     rcp = Vec3(1.0 / u.x, 1.0 / u.y, 1.0 / u.z)
 
+    if node_layout == "aos10":
+        nodes10 = jnp.stack(
+            [bvh.left.astype(jnp.float32), bvh.right.astype(jnp.float32),
+             bvh.mn.x, bvh.mn.y, bvh.mn.z, bvh.mx.x, bvh.mx.y, bvh.mx.z,
+             bvh.tri_start.astype(jnp.float32),
+             bvh.tri_end.astype(jnp.float32)], axis=1)  # (n_nodes, 10)
+    elif node_layout != "soa":
+        raise ValueError(f"unknown node_layout {node_layout!r}")
+
+    def fetch(nd):
+        """Per-lane node record -> (mn, mx, is_leaf, start, end)."""
+        if node_layout == "aos10":
+            rows = nodes10[nd]                       # one (R, 10) gather
+            mn = Vec3(rows[:, 2], rows[:, 3], rows[:, 4])
+            mx = Vec3(rows[:, 5], rows[:, 6], rows[:, 7])
+            is_leaf = rows[:, 1] == -1.0
+            start = rows[:, 8].astype(jnp.int32)
+            end = rows[:, 9].astype(jnp.int32)
+        else:
+            mn = Vec3(bvh.mn.x[nd], bvh.mn.y[nd], bvh.mn.z[nd])
+            mx = Vec3(bvh.mx.x[nd], bvh.mx.y[nd], bvh.mx.z[nd])
+            is_leaf = bvh.right[nd] == -1
+            start = bvh.tri_start[nd]
+            end = bvh.tri_end[nd]
+        return mn, mx, is_leaf, start, end
+
     mt = tab.mt  # (10, 4, Tp)
 
-    def leaf_test(node, t_best, i_best, b_best, g_best):
-        start = bvh.tri_start[node]
-        end = bvh.tri_end[node]
+    def leaf_test(start, end, t_best, i_best, b_best, g_best):
         for k in range(max_leaf_tris):
             ti = start + k
             live = ti < end
@@ -92,9 +127,7 @@ def intersect_tris_bvh(
             g_best = jnp.where(better, gamma, g_best)
         return t_best, i_best, b_best, g_best
 
-    def slab_hit(node):
-        mn = Vec3(bvh.mn.x[node], bvh.mn.y[node], bvh.mn.z[node])
-        mx = Vec3(bvh.mx.x[node], bvh.mx.y[node], bvh.mx.z[node])
+    def slab_hit(mn, mx):
         t0 = Vec3((mn.x - O.x) * rcp.x, (mn.y - O.y) * rcp.y, (mn.z - O.z) * rcp.z)
         t1 = Vec3((mx.x - O.x) * rcp.x, (mx.y - O.y) * rcp.y, (mx.z - O.z) * rcp.z)
         enter = jnp.maximum(
@@ -117,11 +150,12 @@ def intersect_tris_bvh(
         node, t_best, i_best, b_best, g_best = state
         live = node < n_nodes
         nd = jnp.minimum(node, n_nodes - 1)
-        hit = slab_hit(nd) & live
-        is_leaf = bvh.right[nd] == -1
+        mn, mx, is_leaf, start, end = fetch(nd)
+        hit = slab_hit(mn, mx) & live
         do_leaf = hit & is_leaf
         tb, ib, bb, gb = leaf_test(
-            jnp.where(do_leaf, nd, 0), t_best, i_best, b_best, g_best
+            jnp.where(do_leaf, start, 0), jnp.where(do_leaf, end, 0),
+            t_best, i_best, b_best, g_best
         )
         # Lanes not at a live leaf keep their previous winners.
         t_best = jnp.where(do_leaf, tb, t_best)

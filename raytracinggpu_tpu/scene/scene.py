@@ -112,6 +112,11 @@ class RenderConfig:
                                 # bitmask costs R/subg/8 bytes of SMEM, so
                                 # casts can be far larger than the pallas
                                 # mode's 2^17 SMEM-bounded chunks)
+    bvh_node_layout: str = "soa"  # node layout for traversal mode 'bvh':
+                                # per-field SoA columns vs the reference's
+                                # 10-float AoS record row-gathered per step
+                                # ('aos10', optimized.cu:512-534) — the
+                                # node-layout/gather ablation (SURVEY §2.11)
     bvh_max_leaf: int = 96      # static leaf-unroll bound for traversal
                                 # mode 'bvh' (degenerate midpoint partitions
                                 # can leave big leaves; the cat's worst is

@@ -34,6 +34,15 @@ def test_bvh_traversal_matches_dense_cat(cat_mesh_raw, rng):
     agree = (np.asarray(bh.idx)[hit_b] == np.asarray(dh.idx)[hit_b]).mean()
     assert agree > 0.995  # exact ties at shared edges may differ
 
+    # node-layout ablation: the AoS 10-float record walk must be
+    # BIT-identical to the SoA column walk (same arithmetic, different
+    # gather strategy — SURVEY §2.11)
+    ah = intersect_tris_bvh(O, u, tables.mesh, tables.bvh, eps_leaf=1e-4,
+                            node_layout="aos10")
+    np.testing.assert_array_equal(np.asarray(ah.t), t_b)
+    np.testing.assert_array_equal(np.asarray(ah.idx), np.asarray(bh.idx))
+    np.testing.assert_array_equal(np.asarray(ah.beta), np.asarray(bh.beta))
+
 
 def test_bvh_mode_full_trace(cat_mesh_raw, rng):
     import dataclasses
