@@ -173,7 +173,29 @@ def _pairs_tables_jax(A: Vec3, B: Vec3, C: Vec3, old):
     aabb = jnp.concatenate(
         [jnp.stack(mins, axis=1), jnp.stack(maxs, axis=1),
          jnp.zeros((nc, 2), jnp.float32)], axis=1)
-    return PairsMeshTables(fields=f, tile_aabb=aabb, slot_src=slot)
+
+    # Member-box refit: tight per-cluster boxes by segment reduction over
+    # the member-id-per-slot map (ragged segments; -1 padding routed to a
+    # dropped extra segment).
+    m_aabb = m_tile = m_slot = None
+    if old.member_aabb is not None:
+        nm = old.member_aabb.shape[0]
+        m_tile, m_slot = old.member_tile, old.member_slot
+        seg = jnp.where(m_slot >= 0, m_slot, nm)
+        m_mins, m_maxs = [], []
+        for ax in range(3):
+            g = lambda v: jnp.stack([v.x, v.y, v.z], axis=1)[idx, ax]
+            vals = jnp.stack([g(A), g(B), g(C)])            # (3, Tc)
+            lo = jnp.where(live[None, :], vals, INF).min(axis=0)
+            hi = jnp.where(live[None, :], vals, -INF).max(axis=0)
+            m_mins.append(jax.ops.segment_min(lo, seg, num_segments=nm + 1)[:nm])
+            m_maxs.append(jax.ops.segment_max(hi, seg, num_segments=nm + 1)[:nm])
+        m_aabb = jnp.concatenate(
+            [jnp.stack(m_mins, axis=1), jnp.stack(m_maxs, axis=1),
+             jnp.zeros((nm, 2), jnp.float32)], axis=1)
+    return PairsMeshTables(fields=f, tile_aabb=aabb, slot_src=slot,
+                           member_aabb=m_aabb, member_tile=m_tile,
+                           member_slot=m_slot)
 
 
 def _refit_boxes(mn: Vec3, mx: Vec3, M, t):

@@ -138,6 +138,40 @@ def test_bitmask_matches_bruteforce_tiles(cat):
         np.testing.assert_array_equal(got.astype(bool), want[j])
 
 
+def test_member_bits_exact_and_tighter(cat):
+    """Production member-box culling: bit (sg, tile) set iff the subgroup
+    hits some MEMBER cluster box of the tile — brute-force checked — and
+    member bits are a subset of the union-box bits (strictly tighter, never
+    adding a tile)."""
+    from raytracinggpu_tpu.ops.pairs_trace import _members_of, _pair_bits
+    from raytracinggpu_tpu.ops.pallas_trace import slab_enter_exit
+
+    _, tables = cat
+    O, u = _rays("scattered", 1024, seed=12)
+    tab = tables.pairs_mesh
+    nc = tab.tile_aabb.shape[0]
+    nm = tab.member_aabb.shape[0]
+    assert nm >= nc
+    subg, blk = 16, 1024
+    bits_m = np.asarray(_pair_bits(O, u, tab.tile_aabb, nc, subg, blk,
+                                   members=_members_of(tab)))
+    bits_u = np.asarray(_pair_bits(O, u, tab.tile_aabb, nc, subg, blk))
+    assert ((bits_m & ~bits_u) == 0).all()
+    _, _, hit_m = slab_enter_exit(O, u, tab.member_aabb, nm)
+    sg_m = np.asarray(hit_m).reshape(nm, -1, subg).any(axis=2)  # (nm, S)
+    m_tile = np.asarray(tab.member_tile)
+    for j in range(nc):
+        got = (bits_m[j // 32] >> (j % 32)) & 1
+        want = sg_m[m_tile == j].any(axis=0)
+        np.testing.assert_array_equal(got.astype(bool), want)
+    # every live slot belongs to exactly one member (exactness relies on
+    # triangle-in-member-box containment, which the pairs-vs-pallas parity
+    # tests exercise end to end with member culling active)
+    slot_src = np.asarray(tab.slot_src)
+    m_slot = np.asarray(tab.member_slot)
+    assert ((m_slot >= 0) == (slot_src >= 0)).all()
+
+
 @pytest.mark.parametrize("subg,blk", [(8, 1024), (32, 2048), (64, 4096)])
 def test_subgroup_block_invariance(cat, subg, blk):
     _, tables = cat
