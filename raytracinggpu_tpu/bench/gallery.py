@@ -153,9 +153,12 @@ def one_ablation_row(name: str, quick=False) -> dict:
         return img
 
     dt = _steady(run, repeats=2)
+    mrays = rays_per_frame(cfg) / dt / 1e6
     row = {
         "steady_s": round(dt, 3),
-        "mrays": round(rays_per_frame(cfg) / dt / 1e6, 1),
+        # sub-1 rates (the reduced-size oracle modes) keep 4 decimals so
+        # they don't round to a meaningless 0.0
+        "mrays": round(mrays, 1 if mrays >= 1 else 4),
     }
     if note:
         row["note"] = note
@@ -182,10 +185,39 @@ def main():
     ap.add_argument("--ablation-row", default=None,
                     help="internal: measure ONE named mode, print one JSON "
                          "line (used by the per-row subprocess isolation)")
+    ap.add_argument("--ablation-rows", default=None,
+                    help="internal: comma list of modes measured in ONE "
+                         "process (amortizes the 130-420 s tunnel warmup), "
+                         "one 'name<TAB>json' line each")
     a = ap.parse_args()
 
     if a.ablation_row:
+        # Overlap the tunnel warmup (first D2H, 130-420 s) with the mode's
+        # compile — without this a fresh per-row process serializes them.
+        import threading
+
+        import jax.numpy as jnp
+
+        threading.Thread(
+            target=lambda: np.asarray(jnp.zeros((2,))), daemon=True
+        ).start()
         print(json.dumps(one_ablation_row(a.ablation_row, a.quick)))
+        return
+
+    if a.ablation_rows:
+        import threading
+
+        import jax.numpy as jnp
+
+        threading.Thread(
+            target=lambda: np.asarray(jnp.zeros((2,))), daemon=True
+        ).start()
+        for name in a.ablation_rows.split(","):
+            try:
+                row = one_ablation_row(name, a.quick)
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                row = {"error": f"{type(e).__name__}: {e}"[:160]}
+            print(f"{name}\t{json.dumps(row)}", flush=True)
         return
 
     import threading
