@@ -80,6 +80,7 @@ def realtime_rows(quick=False):
         ("progressive_512x512_spp4", 512, 512, 4, 3),
         ("progressive_800x600_spp2", 800, 600, 2, 3),
         ("progressive_800x600_spp1_d2", 800, 600, 1, 2),
+        ("progressive_800x600_spp1_d1", 800, 600, 1, 1),
     ]
     for name, w, h, spp, depth in cases:
         cfg, tables = build_preset(

@@ -60,6 +60,15 @@ class Hit(NamedTuple):
     P: Vec3           # hit point O + t*u (masked lanes arbitrary)
 
 
+def _effective_traversal(cfg: RenderConfig, scene: SceneTables) -> str:
+    """'pairs' falls back to 'pallas' when the mesh exceeded the pairs
+    kernel's cluster budget at scene build (scene.pairs_mesh is None) — a
+    big custom --obj renders instead of crashing."""
+    if cfg.traversal == "pairs" and scene.pairs_mesh is None:
+        return "pallas"
+    return cfg.traversal
+
+
 def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hit:
     """Scene-wide nearest hit: batched sphere pass + mesh pass merged by
     min-t (Scene::intersect_all, global_launcher.cu:716-736).  The mesh holds
@@ -70,11 +79,12 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
     if scene.mesh is None:
         t, obj, N = t_s, obj_s, N_s
     else:
-        if cfg.traversal == "dense":
+        traversal = _effective_traversal(cfg, scene)
+        if traversal == "dense":
             mh = intersect_tris_dense(
                 O, u, scene.mesh, cfg.eps_leaf, cfg.tri_block, cfg.precision
             )
-        elif cfg.traversal == "pallas":
+        elif traversal == "pallas":
             from raytracinggpu_tpu.ops.pallas_trace import (
                 intersect_tris_pallas,
                 recompute_barycentrics,
@@ -90,7 +100,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             if cfg.smooth_normals:
                 beta, gamma = recompute_barycentrics(O, u, scene.pallas_mesh, mh)
                 mh = mh._replace(beta=beta, gamma=gamma)
-        elif cfg.traversal == "pairs":
+        elif traversal == "pairs":
             from raytracinggpu_tpu.ops.pairs_trace import intersect_tris_pairs
             from raytracinggpu_tpu.ops.pallas_trace import (
                 recompute_barycentrics,
@@ -108,7 +118,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
                 beta, gamma = recompute_barycentrics(
                     O, u, scene.pallas_mesh, mh)
                 mh = mh._replace(beta=beta, gamma=gamma)
-        elif cfg.traversal == "bvh":
+        elif traversal == "bvh":
             from raytracinggpu_tpu.ops.bvh_traverse import intersect_tris_bvh
 
             mh = intersect_tris_bvh(
@@ -117,7 +127,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
                 node_layout=cfg.bvh_node_layout,
             )
         else:
-            raise ValueError(f"unknown traversal mode {cfg.traversal!r}")
+            raise ValueError(f"unknown traversal mode {traversal!r}")
 
         if cfg.smooth_normals:
             # realtime_render.cu:309-311: after the closest hit, the geometric
@@ -152,7 +162,8 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3,
     global_launcher.cu:800-807).  The pairs kernel skips their mesh pair
     work entirely; the returned distance on inactive lanes is then the
     sphere-only distance, which the integrator never reads."""
-    if scene.mesh is not None and cfg.traversal == "pallas":
+    traversal = _effective_traversal(cfg, scene)
+    if scene.mesh is not None and traversal == "pallas":
         from raytracinggpu_tpu.ops.pallas_trace import intersect_tris_shadow
 
         interpret = jax.devices()[0].platform != "tpu"
@@ -163,7 +174,7 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3,
             subg=cfg.pallas_subgroup,
         )
         return jnp.minimum(t_sph, t_mesh)
-    if scene.mesh is not None and cfg.traversal == "pairs":
+    if scene.mesh is not None and traversal == "pairs":
         from raytracinggpu_tpu.ops.pairs_trace import (
             intersect_tris_pairs_shadow,
         )

@@ -167,9 +167,12 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
     # pairs: lists cost (R/pairs_block)*(1+maxp)*4 bytes of SMEM -> 2^18
     # rays fit in half the budget; dense: cfg.ray_chunk bounds the matmul
     # intermediates.
-    if cfg.traversal == "pallas":
+    from raytracinggpu_tpu.integrator.wavefront import _effective_traversal
+
+    traversal = _effective_traversal(cfg, scene)
+    if traversal == "pallas":
         chunk = min(R, 131072)
-    elif cfg.traversal == "pairs":
+    elif traversal == "pairs":
         chunk = min(R, cfg.pairs_chunk)
     else:
         chunk = min(cfg.ray_chunk, R)

@@ -183,7 +183,21 @@ def build_scene_tables(
         pallas_tables = build_pallas_tables(mesh.A, mesh.B, mesh.C, pad_to=pad_to)
         from raytracinggpu_tpu.ops.pairs_trace import build_pairs_tables
 
-        pairs_tables = build_pairs_tables(mesh.A, mesh.B, mesh.C, mesh.bvh)
+        try:
+            pairs_tables = build_pairs_tables(mesh.A, mesh.B, mesh.C, mesh.bvh)
+        except ValueError as e:
+            # Mesh exceeds the pairs kernel's cluster budget; the integrator
+            # falls back to the pallas tile kernel when pairs_mesh is None
+            # (integrator/wavefront._effective_traversal), so a big custom
+            # --obj still renders instead of crashing at scene build.
+            import warnings
+
+            warnings.warn(
+                f"pairs kernel unavailable for this mesh ({e}); "
+                "traversal='pairs' will fall back to 'pallas'",
+                stacklevel=2,
+            )
+            pairs_tables = None
         from raytracinggpu_tpu.scene.transform import build_mesh_source
 
         mesh_src = build_mesh_source(mesh, pad_to)

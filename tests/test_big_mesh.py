@@ -65,3 +65,50 @@ def test_tie_break_lowest_index(rng):
     tab = build_pallas_tables(A, B, C)
     ph = intersect_tris_pallas(O, u, tab, 1e-4, interpret=True)
     assert (np.asarray(ph.idx) == 0).all()
+
+
+def test_pairs_fallback_for_huge_mesh(rng):
+    """A mesh past the pairs kernel's cluster budget must not crash scene
+    build: build_scene_tables warns, leaves pairs_mesh=None, and the
+    integrator's effective traversal silently falls back to the pallas tile
+    kernel (wavefront._effective_traversal) so traversal='pairs' still
+    renders."""
+    import warnings
+
+    from raytracinggpu_tpu.integrator.wavefront import (
+        _effective_traversal,
+        intersect_all,
+    )
+    from raytracinggpu_tpu.scene.mesh import build_mesh
+    from raytracinggpu_tpu.scene.obj import ObjMesh
+    from raytracinggpu_tpu.scene.presets import wall_spheres
+    from raytracinggpu_tpu.scene.scene import RenderConfig, build_scene_tables
+
+    n = 34000
+    A, B, C = _big_mesh(rng, n)
+    V = np.concatenate([A, B, C], axis=0).astype(np.float32)
+    vtx = np.arange(3 * n, dtype=np.int32).reshape(3, n).T
+    obj = ObjMesh(
+        vertices=V, normals=np.zeros((0, 3), np.float32),
+        uvs=np.zeros((0, 3), np.float32), vtx=vtx,
+        nrm=np.full((n, 3), -1, np.int32), uv=np.full((n, 3), -1, np.int32),
+    )
+    mesh = build_mesh(obj)
+    spheres, mats = wall_spheres(990.0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tables = build_scene_tables(
+            spheres, mats, L=(-10, 20, 40), intensity=3e10, mesh=mesh)
+    assert any("pairs kernel unavailable" in str(x.message) for x in w)
+    assert tables.pairs_mesh is None
+    cfg = RenderConfig(traversal="pairs")
+    assert _effective_traversal(cfg, tables) == "pallas"
+
+    m = 128
+    o = rng.uniform(-25, 25, (m, 3)).astype(np.float32)
+    d = rng.standard_normal((m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    h = intersect_all(tables, cfg, O, u)  # pallas interpret path
+    assert np.isfinite(np.asarray(h.t)[np.asarray(h.obj) >= 0]).all()
