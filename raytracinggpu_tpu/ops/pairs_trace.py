@@ -54,6 +54,16 @@ TILE_T = 128          # triangles per cluster tile (lane dimension)
 NUM_FIELDS = 24       # rows 0-15: MT constants; 16: original tri id; 17+: pad
 DEF_BLK = 4096        # rays per kernel program
 DEF_SUBG = 16         # rays per culling subgroup
+# Mesh-size ceiling: the (24, nc*128) field table is fully VMEM-resident
+# per program (12 KB/tile), so nc is bounded by VMEM alongside the (blk,
+# 128) scratch; 512 tiles ~ 6.3 MB of fields (~65k triangles).  Verified
+# on hardware at nc=373/W=12 (random 34k-tri soup, dense-oracle parity).
+# The SMEM bitmask scales as ceil(nc/32) words per subgroup — the pipeline
+# shrinks the per-cast chunk accordingly (render/pipeline.trace_chunked).
+MAX_TILES = 512
+# Known-good SMEM budget for the culling bitmask, in words: W * (chunk /
+# subg) at the default chunk 262144, subg 16, W = 8 (255 tiles).
+SMEM_WORDS = 131072
 _IDX_BIG = np.int32(2**30)
 
 
@@ -185,10 +195,11 @@ def build_pairs_tables(A, B, C, bvh) -> PairsMeshTables:
     B = np.asarray(B, np.float32)
     C = np.asarray(C, np.float32)
     slot_src, nc, (m_aabb, m_tile, m_slot) = _cluster_slots(bvh, A.shape[0])
-    if nc > 255:
+    if nc > MAX_TILES:
         raise ValueError(
-            f"mesh too large for the pairs kernel ({nc} clusters); the"
-            " 8-bit tile encoding supports 255 — use traversal='pallas'"
+            f"mesh too large for the pairs kernel ({nc} cluster tiles >"
+            f" {MAX_TILES}): the whole (24, nc*128) field table is VMEM-"
+            "resident per program — use traversal='pallas'"
         )
     f = fields_from_corners(A, B, C, slot_src)
 

@@ -173,7 +173,18 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
     if traversal == "pallas":
         chunk = min(R, 131072)
     elif traversal == "pairs":
-        chunk = min(R, cfg.pairs_chunk)
+        # The culling bitmask costs W * (chunk/subg) SMEM words (W =
+        # ceil(n_tiles/32)); past 255 tiles shrink the chunk to stay inside
+        # the known-good budget (ops/pairs_trace.SMEM_WORDS).
+        from raytracinggpu_tpu.ops.pairs_trace import SMEM_WORDS
+
+        W = -(-scene.pairs_mesh.tile_aabb.shape[0] // 32)
+        cap = max(
+            cfg.pairs_block,
+            SMEM_WORDS * cfg.pairs_subgroup // max(W, 8)
+            // cfg.pairs_block * cfg.pairs_block,
+        )
+        chunk = min(R, cfg.pairs_chunk, cap)
     else:
         chunk = min(cfg.ray_chunk, R)
     # uniforms (D, 2, R) -> (n_chunks, D, 2, chunk)

@@ -1,5 +1,7 @@
 """Large-mesh paths: >126 tiles forces int16 tile lists (the int8 fast path
-would silently wrap), exercised via the pallas kernel in interpret mode."""
+would silently wrap) in the pallas kernel; the pairs kernel handles up to
+MAX_TILES=512 cluster tiles (W up to 16 bitmask words) and falls back to
+pallas past that."""
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,7 +86,7 @@ def test_pairs_fallback_for_huge_mesh(rng):
     from raytracinggpu_tpu.scene.presets import wall_spheres
     from raytracinggpu_tpu.scene.scene import RenderConfig, build_scene_tables
 
-    n = 34000
+    n = 52000
     A, B, C = _big_mesh(rng, n)
     V = np.concatenate([A, B, C], axis=0).astype(np.float32)
     vtx = np.arange(3 * n, dtype=np.int32).reshape(3, n).T
@@ -112,3 +114,38 @@ def test_pairs_fallback_for_huge_mesh(rng):
     u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
     h = intersect_all(tables, cfg, O, u)  # pallas interpret path
     assert np.isfinite(np.asarray(h.t)[np.asarray(h.obj) >= 0]).all()
+
+
+def test_pairs_many_tiles(rng):
+    """The pairs kernel past 255 tiles (W > 8 bitmask words): a 34k-tri
+    soup paves to ~370 cluster tiles; interpret-mode closest hits must
+    match the dense oracle (hit set + winner index)."""
+    from raytracinggpu_tpu.ops.pairs_trace import (
+        build_pairs_tables,
+        intersect_tris_pairs,
+    )
+    from raytracinggpu_tpu.accel.bvh import build_bvh
+
+    A, B, C = _big_mesh(rng, 34000)
+    bvh = build_bvh(A, B, C)
+    Ao, Bo, Co = A[bvh.order], B[bvh.order], C[bvh.order]
+    tab = build_pairs_tables(Ao, Bo, Co, bvh)
+    nc = tab.tile_aabb.shape[0]
+    assert nc > 255, nc
+
+    m = 512
+    o = rng.uniform(-25, 25, (m, 3)).astype(np.float32)
+    d = rng.standard_normal((m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    ph = intersect_tris_pairs(O, u, tab, 1e-4, interpret=True, blk=512)
+    pad = -(-len(Ao) // 512) * 512
+    dh = intersect_tris_dense(
+        O, u, build_tri_tables(Ao, Bo, Co, pad_to=pad), eps_leaf=1e-4)
+    t_p, t_d = np.asarray(ph.t), np.asarray(dh.t)
+    np.testing.assert_array_equal(t_p < INF, t_d < INF)
+    hit = t_p < INF
+    np.testing.assert_allclose(t_p[hit], t_d[hit], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(ph.idx)[hit], np.asarray(dh.idx)[hit])
