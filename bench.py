@@ -14,6 +14,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 NORTH_STAR_MRAYS = 200.0
 
 
@@ -24,14 +26,9 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # Warm the device-to-host tunnel concurrently with compilation (the
     # first D2H on this runtime takes minutes; see SKILL notes).
-    import threading
+    from raytracinggpu_tpu.bench._timing import ensure_sync_async
 
-    import jax.numpy as jnp
-    import numpy as np
-
-    threading.Thread(
-        target=lambda: np.asarray(jnp.zeros((2,))), daemon=True
-    ).start()
+    ensure_sync_async()
 
     from raytracinggpu_tpu.render.pipeline import Camera, render_frame, rays_per_frame
     from raytracinggpu_tpu.scene.presets import build_preset

@@ -39,6 +39,17 @@ def ensure_sync() -> None:
         _tunnel_warm = True
 
 
+def ensure_sync_async():
+    """Start the first D2H on a daemon thread, so the 130-420 s tunnel
+    warmup overlaps with compilation instead of serializing after it.
+    Sets the same warm flag as ensure_sync; returns the thread."""
+    import threading
+
+    t = threading.Thread(target=ensure_sync, daemon=True)
+    t.start()
+    return t
+
+
 def timed_scan(fn, args, iters: int = 30, warm: int = 1) -> float:
     """Per-iteration wall time (seconds) of fn(*args) inside a jitted scan."""
     ensure_sync()

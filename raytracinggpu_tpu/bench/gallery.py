@@ -135,17 +135,31 @@ ABLATION_MODES = {
 }
 
 
+_preset_cache: dict = {}
+
+
+def _cached_preset(w, h, spp, depth):
+    """Scene tables per size — the in-process ablation_rows() loop reuses
+    one build (OBJ parse + BVH + cluster packing + upload) across the ~13
+    modes that share the default protocol size."""
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    key = (w, h, spp, depth)
+    if key not in _preset_cache:
+        _preset_cache[key] = build_preset(
+            "array_bvh", width=w, height=h, spp=spp, max_depth=depth)
+    return _preset_cache[key]
+
+
 def one_ablation_row(name: str, quick=False) -> dict:
     """Measure a single named mode in THIS process."""
     from raytracinggpu_tpu.render.pipeline import (
         Camera, render_frame, rays_per_frame)
-    from raytracinggpu_tpu.scene.presets import build_preset
 
     over = dict(ABLATION_MODES[name])
     note = over.pop("_note", None)
     w, h, spp, depth = over.pop("_size", (512, 512, 8 if quick else 32, 5))
-    cfg0, tables = build_preset(
-        "array_bvh", width=w, height=h, spp=spp, max_depth=depth)
+    cfg0, tables = _cached_preset(w, h, spp, depth)
     cam = Camera.fixed(cfg0.camera_c)
     cfg = replace(cfg0, **over)
 
@@ -195,24 +209,20 @@ def main():
     if a.ablation_row:
         # Overlap the tunnel warmup (first D2H, 130-420 s) with the mode's
         # compile — without this a fresh per-row process serializes them.
-        import threading
+        from raytracinggpu_tpu.bench._timing import ensure_sync_async
 
-        import jax.numpy as jnp
-
-        threading.Thread(
-            target=lambda: np.asarray(jnp.zeros((2,))), daemon=True
-        ).start()
-        print(json.dumps(one_ablation_row(a.ablation_row, a.quick)))
+        ensure_sync_async()
+        try:
+            row = one_ablation_row(a.ablation_row, a.quick)
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            row = {"error": f"{type(e).__name__}: {e}"[:160]}
+        print(json.dumps(row))
         return
 
     if a.ablation_rows:
-        import threading
+        from raytracinggpu_tpu.bench._timing import ensure_sync_async
 
-        import jax.numpy as jnp
-
-        threading.Thread(
-            target=lambda: np.asarray(jnp.zeros((2,))), daemon=True
-        ).start()
+        ensure_sync_async()
         for name in a.ablation_rows.split(","):
             try:
                 row = one_ablation_row(name, a.quick)
@@ -221,13 +231,9 @@ def main():
             print(f"{name}\t{json.dumps(row)}", flush=True)
         return
 
-    import threading
+    from raytracinggpu_tpu.bench._timing import ensure_sync_async
 
-    import jax.numpy as jnp
-
-    threading.Thread(
-        target=lambda: np.asarray(jnp.zeros((2,))), daemon=True
-    ).start()
+    ensure_sync_async()
 
     only = a.only.split(",") if a.only else ["frames", "realtime", "ablations"]
     if "frames" in only or "realtime" in only:

@@ -61,10 +61,12 @@ class Hit(NamedTuple):
 
 
 def _effective_traversal(cfg: RenderConfig, scene: SceneTables) -> str:
-    """'pairs' falls back to 'pallas' when the mesh exceeded the pairs
-    kernel's cluster budget at scene build (scene.pairs_mesh is None) — a
-    big custom --obj renders instead of crashing."""
-    if cfg.traversal == "pairs" and scene.pairs_mesh is None:
+    """'pairs' falls back to 'pallas' when the MESH exceeded the pairs
+    kernel's cluster budget at scene build (mesh present but pairs_mesh
+    None) — a big custom --obj renders instead of crashing.  Mesh-less
+    scenes keep their configured traversal (no mesh kernel ever runs)."""
+    if (cfg.traversal == "pairs" and scene.mesh is not None
+            and scene.pairs_mesh is None):
         return "pallas"
     return cfg.traversal
 

@@ -74,6 +74,14 @@ def intersect_tris_bvh(
     rcp = Vec3(1.0 / u.x, 1.0 / u.y, 1.0 / u.z)
 
     if node_layout == "aos10":
+        # index fields ride as float32 in the 10-float record: exact only
+        # below 2^24 (this mode exists for the reference-layout ablation;
+        # the SoA walk has no such bound)
+        if max(n_nodes, tab.mt.shape[-1]) >= 1 << 24:
+            raise ValueError(
+                "node_layout='aos10' stores node/triangle indices as "
+                "float32 (exact below 2^24); use node_layout='soa' for "
+                "meshes this large")
         nodes10 = jnp.stack(
             [bvh.left.astype(jnp.float32), bvh.right.astype(jnp.float32),
              bvh.mn.x, bvh.mn.y, bvh.mn.z, bvh.mx.x, bvh.mx.y, bvh.mx.z,

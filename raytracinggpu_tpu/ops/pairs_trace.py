@@ -67,6 +67,11 @@ SMEM_WORDS = 131072
 _IDX_BIG = np.int32(2**30)
 
 
+class PairsMeshTooLarge(ValueError):
+    """Mesh exceeds the pairs kernel's VMEM tile ceiling (MAX_TILES);
+    callers fall back to traversal='pallas' on exactly this error."""
+
+
 class PairsMeshTables(NamedTuple):
     """Cluster-tiled device tables.
 
@@ -196,7 +201,7 @@ def build_pairs_tables(A, B, C, bvh) -> PairsMeshTables:
     C = np.asarray(C, np.float32)
     slot_src, nc, (m_aabb, m_tile, m_slot) = _cluster_slots(bvh, A.shape[0])
     if nc > MAX_TILES:
-        raise ValueError(
+        raise PairsMeshTooLarge(
             f"mesh too large for the pairs kernel ({nc} cluster tiles >"
             f" {MAX_TILES}): the whole (24, nc*128) field table is VMEM-"
             "resident per program — use traversal='pallas'"

@@ -174,16 +174,21 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
         chunk = min(R, 131072)
     elif traversal == "pairs":
         # The culling bitmask costs W * (chunk/subg) SMEM words (W =
-        # ceil(n_tiles/32)); past 255 tiles shrink the chunk to stay inside
-        # the known-good budget (ops/pairs_trace.SMEM_WORDS).
+        # ceil(n_tiles/32)); for big meshes shrink the chunk to stay inside
+        # the known-good budget (ops/pairs_trace.SMEM_WORDS — established
+        # at W=8, chunk 262144, subg 16).  Mesh-less scenes never build the
+        # bitmask, so they keep the full configured chunk.
         from raytracinggpu_tpu.ops.pairs_trace import SMEM_WORDS
 
-        W = -(-scene.pairs_mesh.tile_aabb.shape[0] // 32)
-        cap = max(
-            cfg.pairs_block,
-            SMEM_WORDS * cfg.pairs_subgroup // max(W, 8)
-            // cfg.pairs_block * cfg.pairs_block,
-        )
+        if scene.pairs_mesh is None:
+            cap = cfg.pairs_chunk
+        else:
+            W = -(-scene.pairs_mesh.tile_aabb.shape[0] // 32)
+            cap = max(
+                cfg.pairs_block,
+                SMEM_WORDS * cfg.pairs_subgroup // W
+                // cfg.pairs_block * cfg.pairs_block,
+            )
         chunk = min(R, cfg.pairs_chunk, cap)
     else:
         chunk = min(cfg.ray_chunk, R)

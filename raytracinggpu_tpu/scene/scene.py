@@ -183,9 +183,11 @@ def build_scene_tables(
         pallas_tables = build_pallas_tables(mesh.A, mesh.B, mesh.C, pad_to=pad_to)
         from raytracinggpu_tpu.ops.pairs_trace import build_pairs_tables
 
+        from raytracinggpu_tpu.ops.pairs_trace import PairsMeshTooLarge
+
         try:
             pairs_tables = build_pairs_tables(mesh.A, mesh.B, mesh.C, mesh.bvh)
-        except ValueError as e:
+        except PairsMeshTooLarge as e:
             # Mesh exceeds the pairs kernel's cluster budget; the integrator
             # falls back to the pallas tile kernel when pairs_mesh is None
             # (integrator/wavefront._effective_traversal), so a big custom

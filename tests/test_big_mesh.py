@@ -149,3 +149,16 @@ def test_pairs_many_tiles(rng):
     np.testing.assert_allclose(t_p[hit], t_d[hit], rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(
         np.asarray(ph.idx)[hit], np.asarray(dh.idx)[hit])
+
+
+def test_meshless_scene_keeps_pairs_traversal():
+    """A spheres-only scene has pairs_mesh=None because it has NO mesh —
+    the effective traversal must stay 'pairs' (full pairs_chunk casts), not
+    fall to the pallas chunking path."""
+    from raytracinggpu_tpu.integrator.wavefront import _effective_traversal
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    cfg, tables = build_preset("showcase", width=32, height=32, spp=1,
+                               max_depth=2)
+    assert tables.mesh is None and tables.pairs_mesh is None
+    assert _effective_traversal(cfg, tables) == "pairs"
