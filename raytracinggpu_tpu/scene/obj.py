@@ -139,8 +139,9 @@ def read_obj(
     )
 
 
+# bundled inside the package so pip installs ship the reference scene mesh
 CAT_OBJ_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "assets",
     "cat.obj",
 )
