@@ -13,9 +13,17 @@ across each 64-ray subgroup (~2-8 tiles) while the per-RAY mean is only
     4. per-ray results come back via a segment-min over pair rows.
 
 This module provides the XLA-side construction (steps 1-2) and the
-scatter-min reduction (step 4) with exact-correctness tests; the pair
-kernel itself is the planned round-2 traversal mode.  Everything is
-static-shaped: the pair capacity is R*K_MAX plus per-tile padding.
+scatter-min reduction (step 4) with exact-correctness tests.  Everything
+is static-shaped: the pair capacity is R*K_MAX plus per-tile padding.
+
+STATUS (round 2): this front-packed pair-LIST form was measured and
+superseded — the (S x n_tiles)-row scatter of step 2 runs at the
+hardware's ~5-cycle/row rate (~1.8 ms per 262k-ray cast), which is why
+the production pair traversal (ops/pairs_trace.py) keeps the same
+exactly-the-needed-pairs idea but crosses into the kernel as a packed
+BITMASK walked by the scalar core instead of a materialized pair list.
+Kept as the measured groundwork + oracle for the pair-construction
+semantics (tests/test_pair_binning.py).
 """
 from __future__ import annotations
 
