@@ -84,7 +84,32 @@ def test_bvh_boxes_contain_rotated_root():
         assert (v >= root_mn - 1e-3).all() and (v <= root_mx + 1e-3).all()
 
 
-@pytest.mark.parametrize("traversal", ["pallas", "dense"])
+def test_member_boxes_contain_rotated_vertices():
+    """The jitted pose rebuild refits MEMBER cluster boxes (the production
+    culling geometry) by segment reduction; every rotated triangle vertex
+    must lie inside its member's refit box."""
+    _, tables = _small_scene()
+    ang = 0.7
+    posed = jax.jit(lambda s: pose_mesh(s, rotation_y(ang)))(tables)
+    pm = posed.pairs_mesh
+    slot_src = np.asarray(pm.slot_src)
+    m_slot = np.asarray(pm.member_slot)
+    aabb = np.asarray(pm.member_aabb)
+    src = tables.mesh_src
+    stack = lambda v: np.stack(
+        [np.asarray(v.x), np.asarray(v.y), np.asarray(v.z)], axis=1)
+    c, s = np.cos(ang), np.sin(ang)
+    Rm = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    for corner in (src.A, src.B, src.C):
+        V = stack(corner) @ Rm.T
+        live = slot_src >= 0
+        m = m_slot[live]
+        pts = V[slot_src[live]]
+        assert (pts >= aabb[m, 0:3] - 1e-3).all()
+        assert (pts <= aabb[m, 3:6] + 1e-3).all()
+
+
+@pytest.mark.parametrize("traversal", ["pallas", "dense", "pairs"])
 def test_rotated_render_matches_host_rebuild(traversal):
     """pose_mesh(R_y(a)) render == render of a scene whose mesh vertices were
     rotated on host before the BVH build.  The BVH differs (topology built
