@@ -39,6 +39,23 @@ def ensure_sync() -> None:
         _tunnel_warm = True
 
 
+def setup_cache() -> None:
+    """Point the persistent compilation cache at <repo>/.jax_cache (derived
+    from the package location, not a hardcoded checkout path) unless the
+    user already chose one via JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(root, ".jax_cache"))
+    except Exception:
+        pass
+
+
 def ensure_sync_async():
     """Start the first D2H on a daemon thread, so the 130-420 s tunnel
     warmup overlaps with compilation instead of serializing after it.

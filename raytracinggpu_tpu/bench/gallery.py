@@ -23,7 +23,9 @@ from dataclasses import replace
 import jax
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from raytracinggpu_tpu.bench._timing import setup_cache
+
+setup_cache()
 
 
 def _steady(fn, repeats=3):

@@ -26,7 +26,9 @@ import numpy as np
 
 from raytracinggpu_tpu.bench._timing import scan_floor, timed_scan
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from raytracinggpu_tpu.bench._timing import setup_cache
+
+setup_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -28,7 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracinggpu_tpu.bench._timing import timed_scan as timed
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from raytracinggpu_tpu.bench._timing import setup_cache
+
+setup_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BLK = 1024

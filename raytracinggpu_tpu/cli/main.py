@@ -169,7 +169,7 @@ def cmd_realtime(args) -> int:
     light_speed = args.light_speed if args.animate in ("light", "both") else 0.0
     raw = sys.stdout.buffer if args.raw else None
     if args.interactive:
-        return _interactive_loop(tables, cfg, args)
+        return _interactive_loop(tables, cfg, args, light_speed)
     state, summary = run_loop(
         tables,
         cfg,
@@ -188,7 +188,7 @@ def cmd_realtime(args) -> int:
     return 0
 
 
-def _interactive_loop(tables, cfg, args) -> int:
+def _interactive_loop(tables, cfg, args, light_speed=1.0) -> int:
     """Terminal-interactive progressive rendering — the GL-free equivalent of
     the reference's GLUT loop (realtime_render.cu:1214-1298).  The same key
     bindings (a/d/r/f/w/s translate, h/l/k/j = arrow yaw/pitch, q = ESC)
@@ -222,7 +222,11 @@ def _interactive_loop(tables, cfg, args) -> int:
         i = 0
         while args.frames <= 0 or i < args.frames:
             t0 = time.perf_counter()
-            state, display = step(tables, cfg, state)
+            state, display = step(
+                tables, cfg, state,
+                angular_speed=np.float32(light_speed),
+                mesh_speed=np.float32(args.mesh_speed),
+            )
             display.block_until_ready()
             write_png(out, np.asarray(display))
             dt = time.perf_counter() - t0

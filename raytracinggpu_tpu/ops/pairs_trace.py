@@ -117,6 +117,26 @@ def _cluster_slots(bvh, n_tri: int):
     from raytracinggpu_tpu.accel.lbvh import morton_codes
 
     cut = cluster_cut(bvh, max_tris=TILE_T)
+    # A degenerate midpoint partition can make a LEAF larger than max_tris
+    # (accel/bvh.py: the split gives up when the swap partition degenerates),
+    # and cluster_cut emits leaves verbatim — split any oversized cluster
+    # into <= TILE_T chunks (same box; conservative) so no slot overflows
+    # its 128-wide tile and silently drops triangles.
+    c_starts, c_ends, c_mn, c_mx = [], [], [], []
+    for ci in range(len(cut.starts)):
+        s, e = int(cut.starts[ci]), int(cut.ends[ci])
+        while s < e:
+            c_starts.append(s)
+            c_ends.append(min(s + TILE_T, e))
+            c_mn.append(cut.mn[ci])
+            c_mx.append(cut.mx[ci])
+            s += TILE_T
+    cut = cut._replace(
+        starts=np.asarray(c_starts, np.int32),
+        ends=np.asarray(c_ends, np.int32),
+        mn=np.stack(c_mn).astype(np.float32),
+        mx=np.stack(c_mx).astype(np.float32),
+    )
     centers = (cut.mn + cut.mx) * 0.5
     order = np.argsort(morton_codes(centers), kind="stable")
     # First-fit within a sliding window of recent bins: high occupancy

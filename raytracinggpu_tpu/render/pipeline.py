@@ -164,9 +164,10 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
     R = u.x.shape[0]
     # pallas: chunks up to 2^17 rays so the scalar-prefetch tile lists fit
     # the ~1MB SMEM budget even with int16 ids (large --obj meshes);
-    # pairs: lists cost (R/pairs_block)*(1+maxp)*4 bytes of SMEM -> 2^18
-    # rays fit in half the budget; dense: cfg.ray_chunk bounds the matmul
-    # intermediates.
+    # pairs: the culling BITMASK costs W * (chunk/subg) * 4 bytes of SMEM
+    # (W = ceil(n_tiles/32)) — 512 KB at the defaults (W<=8, chunk 2^18,
+    # subg 16), shrunk below for bigger meshes; dense: cfg.ray_chunk
+    # bounds the matmul intermediates.
     from raytracinggpu_tpu.integrator.wavefront import _effective_traversal
 
     traversal = _effective_traversal(cfg, scene)

@@ -109,8 +109,11 @@ class RenderConfig:
                                 # affordable — ops/pairs_trace.py)
     pairs_block: int = 4096     # rays per pairs-kernel program
     pairs_chunk: int = 262144   # rays per cast in pairs mode (the culling
-                                # bitmask costs R/subg/8 bytes of SMEM, so
-                                # casts can be far larger than the pallas
+                                # bitmask costs ceil(n_tiles/32) * (R/subg)
+                                # * 4 bytes of SMEM — 512 KB at defaults;
+                                # trace_chunked shrinks casts for meshes
+                                # past 255 tiles — so casts can be larger
+                                # than the pallas
                                 # mode's 2^17 SMEM-bounded chunks)
     bvh_node_layout: str = "soa"  # node layout for traversal mode 'bvh':
                                 # per-field SoA columns vs the reference's

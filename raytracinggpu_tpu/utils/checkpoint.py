@@ -31,6 +31,14 @@ def load_state(path: str) -> RenderState:
     data = np.load(path, allow_pickle=False)
     n = int(data["n_leaves"])
     leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(n)]
+    if n == 10:
+        # pre-mesh_angle checkpoint (saved before the animated-mesh state
+        # existed): splice in the default pose, exact resume otherwise
+        leaves.insert(4, jnp.float32(0.0))
+    elif n != 11:
+        raise ValueError(
+            f"unrecognized checkpoint layout: {n} leaves (supported: 10 "
+            "[pre-mesh_angle] or 11)")
     # RenderState leaf order: accum, frames, rng_frame, light_angle,
     # mesh_angle, cam_c(Vec3=3), yaw, pitch, key.
     template = RenderState(

@@ -247,3 +247,60 @@ def test_pose_transform_rebuild(cat):
     b = intersect_tris_pairs(O, u, tb, 1e-4, interpret=True, blk=1024)
     np.testing.assert_allclose(
         np.asarray(a.t), np.asarray(b.t), rtol=1e-5, atol=1e-4)
+
+
+def test_degenerate_leaf_bigger_than_tile():
+    """A degenerate midpoint partition can leave a BVH LEAF with more than
+    128 triangles; the pavement must split it across tiles instead of
+    silently overwriting spilled slots (every triangle id appears exactly
+    once in slot_src)."""
+    from raytracinggpu_tpu.accel.bvh import build_bvh
+    from raytracinggpu_tpu.ops.pairs_trace import (
+        build_pairs_tables,
+        intersect_tris_pairs,
+    )
+    from raytracinggpu_tpu.ops.triangle import (
+        build_tri_tables,
+        intersect_tris_dense,
+    )
+
+    # 200 triangles with IDENTICAL centroids: every midpoint partition
+    # degenerates, so the root becomes one 200-triangle leaf.
+    n = 200
+    rng = np.random.default_rng(3)
+    base = np.array([[0.0, 0, 0], [3.0, 0, 0], [0.0, 3, 0]], np.float32)
+    tris = []
+    for i in range(n):
+        d = rng.standard_normal(3).astype(np.float32)
+        d -= d.mean(axis=0, keepdims=True) if d.ndim > 1 else d.mean()
+        tris.append(base + np.stack([d, -d, np.zeros(3, np.float32)]))
+    A = np.stack([t[0] for t in tris])
+    B = np.stack([t[1] for t in tris])
+    C = np.stack([t[2] for t in tris])
+    # force identical centroids exactly
+    cent = (A + B + C) / 3.0
+    shift = cent[0] - cent
+    A, B, C = A + shift, B + shift, C + shift
+    bvh = build_bvh(A, B, C)
+    leaves = bvh.right == -1
+    assert int((bvh.tri_end - bvh.tri_start)[leaves].max()) > 128
+    Ao, Bo, Co = A[bvh.order], B[bvh.order], C[bvh.order]
+    tab = build_pairs_tables(Ao, Bo, Co, bvh)
+    slots = np.asarray(tab.slot_src)
+    live = slots[slots >= 0]
+    assert len(live) == n and len(np.unique(live)) == n
+
+    m = 256
+    o = rng.uniform(-4, 7, (m, 3)).astype(np.float32)
+    d = rng.standard_normal((m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    ph = intersect_tris_pairs(O, u, tab, 1e-4, interpret=True, blk=256)
+    dh = intersect_tris_dense(
+        O, u, build_tri_tables(Ao, Bo, Co, pad_to=512), eps_leaf=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(ph.t) < 1e9, np.asarray(dh.t) < 1e9)
+    hit = np.asarray(ph.t) < 1e9
+    np.testing.assert_allclose(
+        np.asarray(ph.t)[hit], np.asarray(dh.t)[hit], rtol=1e-5, atol=1e-5)

@@ -136,3 +136,38 @@ def test_steps_batch_matches_sequential():
         st_b, disp = step(tables, cfg, st_b)
         np.testing.assert_array_equal(np.asarray(frames[i]), np.asarray(disp))
     assert int(st_a.frames) == int(st_b.frames) == 3
+
+
+def test_checkpoint_loads_pre_mesh_angle_layout(tmp_path):
+    """Checkpoints saved before RenderState gained mesh_angle (10 leaves)
+    still load: mesh_angle defaults to 0 and everything else resumes
+    exactly."""
+    import jax
+    import numpy as np
+
+    from raytracinggpu_tpu.render.realtime import init_state
+    from raytracinggpu_tpu.scene.presets import build_preset
+    from raytracinggpu_tpu.utils.checkpoint import load_state, save_state
+
+    cfg, tables = build_preset("realtime", width=16, height=16, spp=1,
+                               max_depth=1)
+    state = init_state(cfg, tables, seed=3)
+    leaves, _ = jax.tree.flatten(state)
+    # re-save WITHOUT the mesh_angle leaf (index 4), emulating the old layout
+    old = leaves[:4] + leaves[5:]
+    path = str(tmp_path / "old.npz")
+    np.savez(path, *[np.asarray(l) for l in old], treedef="legacy",
+             n_leaves=len(old))
+    restored = load_state(path)
+    assert float(restored.mesh_angle) == 0.0
+    np.testing.assert_array_equal(np.asarray(restored.accum),
+                                  np.asarray(state.accum))
+    np.testing.assert_array_equal(np.asarray(restored.key),
+                                  np.asarray(state.key))
+
+    # and the current layout round-trips bit-exactly
+    path2 = str(tmp_path / "new.npz")
+    save_state(path2, state)
+    again = load_state(path2)
+    for a, b in zip(jax.tree.leaves(again), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
