@@ -190,7 +190,13 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
                 SMEM_WORDS * cfg.pairs_subgroup // W
                 // cfg.pairs_block * cfg.pairs_block,
             )
-        chunk = min(R, cfg.pairs_chunk, cap)
+        cap = min(cfg.pairs_chunk, cap)
+        # Balance the chunks: 800x600 = 480k rays would otherwise pad up to
+        # 2 x 262144 (9% of all pair math spent on padding); splitting into
+        # equal pairs_block-granular chunks pads < 1%.
+        n_chunks = -(-R // cap)
+        per = -(-R // n_chunks)
+        chunk = min(cap, -(-per // cfg.pairs_block) * cfg.pairs_block)
     else:
         chunk = min(cfg.ray_chunk, R)
     # uniforms (D, 2, R) -> (n_chunks, D, 2, chunk)
