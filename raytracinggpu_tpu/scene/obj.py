@@ -139,9 +139,16 @@ def read_obj(
     )
 
 
-# bundled inside the package so pip installs ship the reference scene mesh
-CAT_OBJ_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "assets",
-    "cat.obj",
+# The cat mesh ships with the repo checkout for dev/tests but is EXCLUDED
+# from built wheels (its upstream, a cadnav.com model vendored by the
+# reference repo, has no clear redistribution license — see pyproject).
+# Installed-package users point RT_CAT_OBJ at their own copy (e.g. the
+# reference checkout's cadnav.com_model/Models_F0202A090/cat.obj).
+CAT_OBJ_PATH = os.environ.get(
+    "RT_CAT_OBJ",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets",
+        "cat.obj",
+    ),
 )

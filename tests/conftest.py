@@ -22,6 +22,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_sessionstart(session):
+    """Make a missing native build LOUD: without librt_native.so the 4
+    native-equality tests skip, which is easy to miss in a green run
+    (VERDICT r2).  One `make -C native` builds it."""
+    from raytracinggpu_tpu import native
+
+    if not native.available():
+        import warnings
+
+        warnings.warn(
+            "librt_native.so not built — the native C++ equality tests "
+            "(tests/test_native.py) will SKIP.  Run `make -C native` first "
+            "for full coverage.",
+            stacklevel=1,
+        )
+
+
 @pytest.fixture()
 def rng():
     # Function-scoped: every test sees the same deterministic stream

@@ -47,7 +47,9 @@ if __name__ == "__main__":
 
     if not tpu_check:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from raytracinggpu_tpu.bench._timing import setup_cache
+
+    setup_cache()
     from raytracinggpu_tpu.render.pipeline import render_preset_frame
     from raytracinggpu_tpu.scene.presets import PRESET_NAMES, build_preset
 
