@@ -220,24 +220,35 @@ def _interactive_loop(tables, cfg, args, light_speed=1.0) -> int:
     try:
         tty.setcbreak(fd)
         i = 0
+        pending = None  # dispatched-but-unread display (1-frame pipeline,
+        # overlapping the ~29 ms host dispatch with device compute — the
+        # async analog of the reference's free-running GLUT pump)
+        t0 = time.perf_counter()
         while args.frames <= 0 or i < args.frames:
-            t0 = time.perf_counter()
             state, display = step(
                 tables, cfg, state,
                 angular_speed=np.float32(light_speed),
                 mesh_speed=np.float32(args.mesh_speed),
             )
-            display.block_until_ready()
-            write_png(out, np.asarray(display))
-            dt = time.perf_counter() - t0
-            if (i + 1) % 5 == 0:
-                print(f"frame {i+1}: {dt*1e3:.0f} ms ({1/dt:.2f} FPS)", flush=True)
+            if pending is not None:
+                pending.block_until_ready()
+                t1 = time.perf_counter()
+                dt = t1 - t0
+                t0 = t1
+                write_png(out, np.asarray(pending))
+                if i % 5 == 0:
+                    print(f"frame {i}: {dt*1e3:.0f} ms ({1/dt:.2f} FPS)",
+                          flush=True)
+            pending = display
             while select.select([sys.stdin], [], [], 0)[0]:
                 ch = sys.stdin.read(1)
                 if ch == "q" or ch == "\x1b":
                     return 0
                 state = on_key(state, keymap.get(ch, ch))
             i += 1
+        if pending is not None:
+            pending.block_until_ready()
+            write_png(out, np.asarray(pending))
     finally:
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
     return 0

@@ -236,11 +236,20 @@ def run_loop(
     print_every: int = 5,
     angular_speed: float = 1.0,
     mesh_speed: float = 1.0,
+    pipelined: bool = True,
 ):
     """Host frame pump (the TPU analog of glutMainLoop + disp,
     realtime_render.cu:1244-1298): steps the jitted renderer, streams frames,
     and prints the per-frame time every ``print_every`` frames like the
     reference (realtime_render.cu:1280-1282).
+
+    pipelined (default): dispatch frame n+1 BEFORE reading frame n back —
+    JAX's async dispatch then overlaps the ~29 ms/dispatch host cost
+    (PERF_NOTES.md platform fact 2) with the device computing the previous
+    frame, the same overlap the reference gets for free from its
+    free-running GLUT pump + async CUDA launches
+    (realtime_render.cu:1244-1298).  Frames stream in order, one frame of
+    latency.  pipelined=False restores the strict dispatch-wait-read loop.
 
     Returns (final_state, fps_summary dict).
     """
@@ -252,26 +261,51 @@ def run_loop(
     state = init_state(cfg, scene, seed)
     times = []
     speed = np.float32(angular_speed)
-    for i in range(n_frames):
-        t0 = time.perf_counter()
-        state, display = step(scene, cfg, state, speed,
-                              mesh_speed=np.float32(mesh_speed))
-        display.block_until_ready()
-        dt = time.perf_counter() - t0
-        times.append(dt)
+
+    def emit(i, display):
         if out_dir is not None:
             os.makedirs(out_dir, exist_ok=True)
-            write_png(os.path.join(out_dir, f"frame_{i:05d}.png"), np.asarray(display))
+            write_png(os.path.join(out_dir, f"frame_{i:05d}.png"),
+                      np.asarray(display))
         if raw_pipe is not None:
             raw_pipe.write(np.asarray(display).tobytes())
         if print_every and (i + 1) % print_every == 0:
             import sys
 
+            dt = times[-1]
             # Never interleave text with a raw RGB24 stdout stream.
             print(
                 f"frame {i+1}: {dt*1000:.1f} ms ({1.0/dt:.1f} FPS)",
                 file=sys.stderr if raw_pipe is not None else sys.stdout,
             )
+
+    pending = None  # (index, display) not yet read back
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        state, display = step(scene, cfg, state, speed,
+                              mesh_speed=np.float32(mesh_speed))
+        if not pipelined:
+            display.block_until_ready()
+        if pending is not None:
+            pending[1].block_until_ready()
+            t1 = time.perf_counter()
+            times.append(t1 - t0)
+            t0 = t1
+            emit(*pending)
+            pending = None
+        if pipelined:
+            pending = (i, display)
+        else:
+            t1 = time.perf_counter()
+            times.append(t1 - t0)
+            t0 = t1
+            emit(i, display)
+    if pending is not None:
+        pending[1].block_until_ready()
+        t1 = time.perf_counter()
+        times.append(t1 - t0)
+        t0 = t1
+        emit(*pending)
     steady = times[1:] or times
     return state, {
         "frames": n_frames,
