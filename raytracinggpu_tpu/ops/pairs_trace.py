@@ -50,21 +50,30 @@ from raytracinggpu_tpu.ops.pallas_trace import slab_enter_exit
 from raytracinggpu_tpu.ops.triangle import TriHit
 
 INF = 1e9 + 9
-TILE_T = 128          # triangles per cluster tile (lane dimension)
+LANES = 128           # VPU lane width: output blocks + epilogue row chunks
+TILE_T = 128          # default triangles per cluster tile (lane dimension,
+                      # a multiple of 128; see build_pairs_tables(tile_t=))
 NUM_FIELDS = 24       # rows 0-15: MT constants; 16: original tri id; 17+: pad
 DEF_BLK = 4096        # rays per kernel program
 DEF_SUBG = 16         # rays per culling subgroup
-# Mesh-size ceiling: the (24, nc*128) field table is fully VMEM-resident
-# per program (12 KB/tile), so nc is bounded by VMEM alongside the (blk,
-# 128) scratch; 512 tiles ~ 6.3 MB of fields (~65k triangles).  Verified
-# on hardware at nc=373/W=12 (random 34k-tri soup, dense-oracle parity).
-# The SMEM bitmask scales as ceil(nc/32) words per subgroup — the pipeline
-# shrinks the per-cast chunk accordingly (render/pipeline.trace_chunked).
-MAX_TILES = 512
+# Mesh-size ceiling: the (24, nc*tile_t) field table is fully VMEM-resident
+# per program (96 B/triangle slot), so the total slot count is bounded by
+# VMEM alongside the (blk, tile_t) scratch; 65536 slots ~ 6.3 MB of fields
+# (~65k triangles).  Verified on hardware at nc=373/W=12 (random 34k-tri
+# soup at tile_t=128, dense-oracle parity).  The SMEM bitmask scales as
+# ceil(nc/32) words per subgroup — the pipeline shrinks the per-cast chunk
+# accordingly (render/pipeline.trace_chunked).
+MAX_SLOTS = 512 * 128
 # Known-good SMEM budget for the culling bitmask, in words: W * (chunk /
 # subg) at the default chunk 262144, subg 16, W = 8 (255 tiles).
 SMEM_WORDS = 131072
 _IDX_BIG = np.int32(2**30)
+
+
+def tile_width(tab: "PairsMeshTables") -> int:
+    """Tile lane width of a built table (derived, not stored: the slot
+    array is exactly nc tiles of tile_t slots)."""
+    return tab.slot_src.shape[0] // tab.tile_aabb.shape[0]
 
 
 class PairsMeshTooLarge(ValueError):
@@ -102,21 +111,28 @@ class PairsMeshTables(NamedTuple):
     member_slot: jnp.ndarray | None = None
 
 
-def _cluster_slots(bvh, n_tri: int):
-    """Host: cluster ranges -> (slot_src (nc*128,), n_clusters).
+def _cluster_slots(bvh, n_tri: int, tile_t: int = TILE_T):
+    """Host: cluster ranges -> (slot_src (nc*tile_t,), n_clusters).
 
-    The raw cluster cut (shallowest subtrees <= 128 tris) averages ~50%
+    The raw cluster cut (shallowest subtrees <= tile_t tris) averages ~50%
     tile occupancy; half-empty tiles double the per-pair math for nothing.
     Clusters are therefore packed greedily in MORTON order of their box
     centers (spatial neighbors merge, so the union AABB stays tight) while
     their sizes fit one tile.  Packed tiles are not ascending in original
     id anymore, so the closest-hit kernel breaks exact-t ties
     lexicographically on (t, original id) instead of relying on visit
-    order."""
+    order.
+
+    Culling granularity stays at the CLUSTER level regardless of tile_t:
+    member boxes are per merged cluster, so fatter tiles coarsen only the
+    visit granularity (more triangles per scalar-walk iteration), not the
+    slab tests."""
     from raytracinggpu_tpu.accel.bvh import cluster_cut
     from raytracinggpu_tpu.accel.lbvh import morton_codes
 
-    cut = cluster_cut(bvh, max_tris=TILE_T)
+    # Cut at sub-tile granularity so member boxes stay tight even for fat
+    # tiles (a 512-wide tile packs ~4-8 of these 128-tri clusters).
+    cut = cluster_cut(bvh, max_tris=min(tile_t, 128))
     # A degenerate midpoint partition can make a LEAF larger than max_tris
     # (accel/bvh.py: the split gives up when the swap partition degenerates),
     # and cluster_cut emits leaves verbatim — split any oversized cluster
@@ -127,10 +143,10 @@ def _cluster_slots(bvh, n_tri: int):
         s, e = int(cut.starts[ci]), int(cut.ends[ci])
         while s < e:
             c_starts.append(s)
-            c_ends.append(min(s + TILE_T, e))
+            c_ends.append(min(s + tile_t, e))
             c_mn.append(cut.mn[ci])
             c_mx.append(cut.mx[ci])
-            s += TILE_T
+            s += tile_t
     cut = cut._replace(
         starts=np.asarray(c_starts, np.int32),
         ends=np.asarray(c_ends, np.int32),
@@ -147,13 +163,15 @@ def _cluster_slots(bvh, n_tri: int):
     # this pavement exists to remove).
     WINDOW = 8
     mesh_vol = float(np.prod(cut.mx.max(axis=0) - cut.mn.min(axis=0)))
-    MAX_TILE_VOL = 0.02 * mesh_vol
+    # Box-growth bound scales with tile capacity: a fat tile legitimately
+    # covers proportionally more of the mesh.
+    MAX_TILE_VOL = 0.02 * mesh_vol * (tile_t / 128.0)
     groups: list[list] = []  # [cluster ids, size, mn(3,), mx(3,)]
     for ci in order:
         size = int(cut.ends[ci] - cut.starts[ci])
         placed = False
         for g in groups[-WINDOW:]:
-            if g[1] + size > TILE_T:
+            if g[1] + size > tile_t:
                 continue
             mn = np.minimum(g[2], cut.mn[ci])
             mx = np.maximum(g[3], cut.mx[ci])
@@ -167,12 +185,12 @@ def _cluster_slots(bvh, n_tri: int):
         if not placed:
             groups.append([[ci], size, cut.mn[ci].copy(), cut.mx[ci].copy()])
     nc = len(groups)
-    slot_src = np.full(nc * TILE_T, -1, np.int32)
-    member_slot = np.full(nc * TILE_T, -1, np.int32)
+    slot_src = np.full(nc * tile_t, -1, np.int32)
+    member_slot = np.full(nc * tile_t, -1, np.int32)
     member_tile: list[int] = []
     member_aabb_rows: list[np.ndarray] = []
     for j, (cids, _size, _mn, _mx) in enumerate(groups):
-        k = j * TILE_T
+        k = j * tile_t
         for ci in cids:
             s, e = int(cut.starts[ci]), int(cut.ends[ci])
             m = len(member_tile)
@@ -214,23 +232,30 @@ def fields_from_corners(A, B, C, slot_src, np_mod=np):
     return np_mod.concatenate([f, pad], axis=0)
 
 
-def build_pairs_tables(A, B, C, bvh) -> PairsMeshTables:
-    """Host-side build from BVH-ordered triangle corners (T, 3)."""
+def build_pairs_tables(A, B, C, bvh, tile_t: int = TILE_T) -> PairsMeshTables:
+    """Host-side build from BVH-ordered triangle corners (T, 3).
+
+    tile_t: triangles per packed tile (multiple of 128).  Fat tiles trade
+    nearly-free extra VPU math per visit for fewer scalar-walk iterations
+    (the measured per-visit bottleneck); culling tightness is preserved by
+    per-cluster member boxes."""
+    assert tile_t % LANES == 0, tile_t
     A = np.asarray(A, np.float32)
     B = np.asarray(B, np.float32)
     C = np.asarray(C, np.float32)
-    slot_src, nc, (m_aabb, m_tile, m_slot) = _cluster_slots(bvh, A.shape[0])
-    if nc > MAX_TILES:
+    slot_src, nc, (m_aabb, m_tile, m_slot) = _cluster_slots(
+        bvh, A.shape[0], tile_t)
+    if nc * tile_t > MAX_SLOTS:
         raise PairsMeshTooLarge(
-            f"mesh too large for the pairs kernel ({nc} cluster tiles >"
-            f" {MAX_TILES}): the whole (24, nc*128) field table is VMEM-"
-            "resident per program — use traversal='pallas'"
+            f"mesh too large for the pairs kernel ({nc} tiles x {tile_t} "
+            f"slots > {MAX_SLOTS}): the whole (24, nc*tile_t) field table "
+            "is VMEM-resident per program — use traversal='pallas'"
         )
     f = fields_from_corners(A, B, C, slot_src)
 
     aabb = np.zeros((nc, 8), np.float32)
     for j in range(nc):
-        ids = slot_src[j * TILE_T : (j + 1) * TILE_T]
+        ids = slot_src[j * tile_t : (j + 1) * tile_t]
         ids = ids[ids >= 0]
         pts = np.concatenate([A[ids], B[ids], C[ids]], axis=0)
         aabb[j, 0:3] = pts.min(axis=0)
@@ -324,14 +349,14 @@ def _pair_bits(O, u, aabb, nc, subg, blk, cap=None, active=None,
     return jnp.stack(words, axis=0)                              # (W, S)
 
 
-def _mt_tile(rf_ref, tri_ref, rows, off, eps_leaf):
-    """Moller-Trumbore for one (subg-ray, 128-tri) visit; returns
+def _mt_tile(rf_ref, tri_ref, rows, off, eps_leaf, tile_t=TILE_T):
+    """Moller-Trumbore for one (subg-ray, tile_t-tri) visit; returns
     (t_masked, orig_id_row)."""
     col = lambda k: rf_ref[rows, k : k + 1]
     ux, uy, uz = col(0), col(1), col(2)
     wx, wy, wz = col(3), col(4), col(5)
     Ox, Oy, Oz = col(6), col(7), col(8)
-    tile = tri_ref[:, pl.ds(off, TILE_T)]        # (24, 128)
+    tile = tri_ref[:, pl.ds(off, tile_t)]        # (24, tile_t)
     row = lambda k: tile[k : k + 1, :]
     denom = ux * row(0) + uy * row(1) + uz * row(2)
     bnum = (ux * row(3) + uy * row(4) + uz * row(5)) - (
@@ -350,7 +375,7 @@ def _mt_tile(rf_ref, tri_ref, rows, off, eps_leaf):
     return jnp.where(valid, tval, INF), row(16)
 
 
-def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W,
+def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t,
                   bits_ref, summ_ref, dbj_ref, rfT_ref, tri_ref, *refs):
     """Bitmask-driven pair walk for one ray block.
 
@@ -377,7 +402,7 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W,
     n_sg = blk // subg
     # one in-VMEM transpose per block: (16, blk) rows -> (blk, 16) columns
     rf_s[:] = rfT_ref[0].T
-    t_run[:] = jnp.full((blk, TILE_T), INF, jnp.float32)
+    t_run[:] = jnp.full((blk, tile_t), INF, jnp.float32)
     # idx_run is NOT initialized: every (ray, lane) slot with t_run < INF was
     # written by some visit, which wrote idx_run too; the epilogue only
     # reads idx_run where t_run < INF, so stale scratch is never observed
@@ -386,8 +411,8 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W,
 
     def visit(sg, tile):
         rows = pl.ds(sg * subg, subg)
-        off = pl.multiple_of(tile * TILE_T, TILE_T)
-        t, oid = _mt_tile(rf_s, tri_ref, rows, off, eps_leaf)
+        off = pl.multiple_of(tile * tile_t, tile_t)
+        t, oid = _mt_tile(rf_s, tri_ref, rows, off, eps_leaf, tile_t)
         if track_idx:
             # lexicographic (t, original id): packed tiles are not visited
             # in ascending-id order, so equal-t ties must compare ids to
@@ -434,17 +459,17 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W,
 
     jax.lax.fori_loop(0, W * n_s32, sw_body, 0)
 
-    for r in range(blk // TILE_T):
-        sl = pl.ds(r * TILE_T, TILE_T)
+    for r in range(blk // LANES):
+        sl = pl.ds(r * LANES, LANES)
         t_min = jnp.min(t_run[sl, :], axis=1)
-        t_ref[r : r + 1, :] = t_min.reshape(1, TILE_T)
+        t_ref[r : r + 1, :] = t_min.reshape(1, LANES)
         if track_idx:
             win = (t_run[sl, :] == t_min[:, None]) & (t_run[sl, :] < INF)
             idx = jnp.min(
                 jnp.where(win, idx_run[sl, :], float(_IDX_BIG)), axis=1
             ).astype(jnp.int32)
             idx_ref[r : r + 1, :] = (
-                jnp.where(idx == _IDX_BIG, 0, idx).reshape(1, TILE_T)
+                jnp.where(idx == _IDX_BIG, 0, idx).reshape(1, LANES)
             )
 
 
@@ -465,10 +490,11 @@ def _summary_words(bits, nb: int, n_sg: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps_leaf", "track_idx", "subg", "blk", "nc", "interpret"),
+    static_argnames=("eps_leaf", "track_idx", "subg", "blk", "nc",
+                     "interpret", "tile_t"),
 )
 def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
-                interpret):
+                interpret, tile_t=TILE_T):
     R = rfT.shape[1]
     W = bits.shape[0]
     summ = _summary_words(bits, R // blk, blk // subg)
@@ -478,21 +504,21 @@ def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
     # The permute is major-dim only (minor stays blk) — full-bandwidth.
     rfT = jnp.moveaxis(rfT.reshape(16, R // blk, blk), 1, 0)
     out_specs = [
-        pl.BlockSpec((blk // TILE_T, TILE_T), lambda i, *_: (i, 0),
+        pl.BlockSpec((blk // LANES, LANES), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct((R // TILE_T, TILE_T), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((R // LANES, LANES), jnp.float32)]
     scratch = [
         pltpu.VMEM((blk, 16), jnp.float32),
-        pltpu.VMEM((blk, TILE_T), jnp.float32),
+        pltpu.VMEM((blk, tile_t), jnp.float32),
     ]
     if track_idx:
         out_specs.append(
-            pl.BlockSpec((blk // TILE_T, TILE_T), lambda i, *_: (i, 0),
+            pl.BlockSpec((blk // LANES, LANES), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(
-            jax.ShapeDtypeStruct((R // TILE_T, TILE_T), jnp.int32))
-        scratch.append(pltpu.VMEM((blk, TILE_T), jnp.float32))
+            jax.ShapeDtypeStruct((R // LANES, LANES), jnp.int32))
+        scratch.append(pltpu.VMEM((blk, tile_t), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # bitmask words + summary words + de Bruijn
         grid=(R // blk,),
@@ -506,7 +532,7 @@ def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(
-        _pairs_kernel, eps_leaf, track_idx, subg, blk, nc, W)
+        _pairs_kernel, eps_leaf, track_idx, subg, blk, nc, W, tile_t)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
     )(bits, summ, jnp.asarray(_DEBRUIJN_TABLE), rfT, fields)
@@ -554,7 +580,8 @@ def intersect_tris_pairs(
     bits = _pair_bits(O, u, tab.tile_aabb, nc, subg, blk, cap=cap,
                       members=_members_of(tab))
     t, idx = _pairs_call(
-        rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc, interpret
+        rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc,
+        interpret, tile_width(tab)
     )
     if pad:
         t, idx = t[:R], idx[:R]
@@ -586,6 +613,7 @@ def intersect_tris_pairs_shadow(
     bits = _pair_bits(O, u, tab.tile_aabb, nc, subg, blk, cap=cap,
                       active=active, members=_members_of(tab))
     t = _pairs_call(
-        rfT, tab.fields, bits, float(eps_leaf), False, subg, blk, nc, interpret
+        rfT, tab.fields, bits, float(eps_leaf), False, subg, blk, nc,
+        interpret, tile_width(tab)
     )
     return t[:R] if pad else t

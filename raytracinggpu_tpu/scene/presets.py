@@ -159,5 +159,6 @@ def build_preset(
         mesh=mesh,
         mesh_albedo=(0.25, 0.25, 0.25),
         tri_block=cfg.tri_block,
+        pairs_tile=cfg.pairs_tile,
     )
     return cfg, tables

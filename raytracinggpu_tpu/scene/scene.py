@@ -108,6 +108,13 @@ class RenderConfig:
                                 # and the flat pair loop makes small sizes
                                 # affordable — ops/pairs_trace.py)
     pairs_block: int = 4096     # rays per pairs-kernel program
+    pairs_tile: int = 128       # triangles per packed tile (multiple of
+                                # 128).  Fat tiles cut the number of
+                                # scalar-walk visits (the measured kernel
+                                # bottleneck) at the cost of nearly-free
+                                # extra VPU math per visit; culling stays
+                                # cluster-granular via member boxes
+                                # (ops/pairs_trace.build_pairs_tables)
     pairs_chunk: int = 262144   # rays per cast in pairs mode (the culling
                                 # bitmask costs ceil(n_tiles/32) * (R/subg)
                                 # * 4 bytes of SMEM — 512 KB at defaults;
@@ -156,6 +163,7 @@ def build_scene_tables(
     mesh: MeshData | None,
     mesh_albedo=(0.25, 0.25, 0.25),
     tri_block: int = 512,
+    pairs_tile: int = 128,
 ) -> SceneTables:
     """Assemble device tables from host data.
 
@@ -189,7 +197,8 @@ def build_scene_tables(
         from raytracinggpu_tpu.ops.pairs_trace import PairsMeshTooLarge
 
         try:
-            pairs_tables = build_pairs_tables(mesh.A, mesh.B, mesh.C, mesh.bvh)
+            pairs_tables = build_pairs_tables(
+                mesh.A, mesh.B, mesh.C, mesh.bvh, tile_t=pairs_tile)
         except PairsMeshTooLarge as e:
             # Mesh exceeds the pairs kernel's cluster budget; the integrator
             # falls back to the pallas tile kernel when pairs_mesh is None

@@ -148,11 +148,12 @@ def _pairs_tables_jax(A: Vec3, B: Vec3, C: Vec3, old):
     corners per cluster slot, recompute fields, refit cluster AABBs tight."""
     from raytracinggpu_tpu.ops.pairs_trace import (
         INF,
-        TILE_T,
         PairsMeshTables,
         fields_from_corners,
+        tile_width,
     )
 
+    tile_t = tile_width(old)
     slot = old.slot_src
     stackv = lambda v: jnp.stack([v.x, v.y, v.z], axis=1)   # (Tp, 3)
     f = fields_from_corners(
@@ -166,8 +167,8 @@ def _pairs_tables_jax(A: Vec3, B: Vec3, C: Vec3, old):
     for ax in range(3):
         g = lambda v: jnp.stack([v.x, v.y, v.z], axis=1)[idx, ax]
         vals = jnp.stack([g(A), g(B), g(C)])                # (3, Tc)
-        lo = jnp.where(live[None, :], vals, INF).reshape(3, nc, TILE_T)
-        hi = jnp.where(live[None, :], vals, -INF).reshape(3, nc, TILE_T)
+        lo = jnp.where(live[None, :], vals, INF).reshape(3, nc, tile_t)
+        hi = jnp.where(live[None, :], vals, -INF).reshape(3, nc, tile_t)
         mins.append(lo.min(axis=(0, 2)))
         maxs.append(hi.max(axis=(0, 2)))
     aabb = jnp.concatenate(

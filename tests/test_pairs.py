@@ -304,3 +304,26 @@ def test_degenerate_leaf_bigger_than_tile():
     hit = np.asarray(ph.t) < 1e9
     np.testing.assert_allclose(
         np.asarray(ph.t)[hit], np.asarray(dh.t)[hit], rtol=1e-5, atol=1e-5)
+
+
+def test_fat_tiles_bitwise_match(cat_mesh_raw):
+    """tile_t in {256, 512} renders bit-identically to the 128-wide tiles:
+    fat tiles change only the visit granularity (per-visit scalar-walk cost
+    amortization), never the math or the winner selection — culling stays
+    per-cluster via member boxes (same member count at every width)."""
+    from raytracinggpu_tpu.render.pipeline import render_preset_frame
+    from raytracinggpu_tpu.scene.mesh import build_mesh
+    from raytracinggpu_tpu.scene.presets import build_preset
+    from raytracinggpu_tpu.ops.pairs_trace import tile_width
+
+    mesh_data = build_mesh(cat_mesh_raw)
+    imgs, members = {}, {}
+    for tt in (128, 512):
+        cfg, tables = build_preset(
+            "array_bvh", mesh=mesh_data, width=32, height=32, spp=1,
+            max_depth=2, traversal="pairs", pairs_tile=tt)
+        assert tile_width(tables.pairs_mesh) == tt
+        members[tt] = tables.pairs_mesh.member_aabb.shape[0]
+        imgs[tt], _ = render_preset_frame(tables, cfg, seed=0)
+    assert members[128] == members[512]
+    np.testing.assert_array_equal(imgs[512], imgs[128])
