@@ -56,14 +56,16 @@ TILE_T = 128          # default triangles per cluster tile (lane dimension,
 NUM_FIELDS = 24       # rows 0-15: MT constants; 16: original tri id; 17+: pad
 DEF_BLK = 4096        # rays per kernel program
 DEF_SUBG = 16         # rays per culling subgroup
-# Mesh-size ceiling: the (24, nc*tile_t) field table is fully VMEM-resident
-# per program (96 B/triangle slot), so the total slot count is bounded by
-# VMEM alongside the (blk, tile_t) scratch; 65536 slots ~ 6.3 MB of fields
-# (~65k triangles).  Verified on hardware at nc=373/W=12 (random 34k-tri
-# soup at tile_t=128, dense-oracle parity).  The SMEM bitmask scales as
-# ceil(nc/32) words per subgroup — the pipeline shrinks the per-cast chunk
-# accordingly (render/pipeline.trace_chunked).
-MAX_SLOTS = 512 * 128
+# Field tables up to ST_SLOTS columns are fully VMEM-resident per program
+# (96 B/triangle slot; 32768 slots = 3.1 MB).  Bigger meshes STREAM the
+# table in ST_SLOTS-wide supertile blocks over a minor grid axis
+# (double-buffered DMA; t_run persists across the sweep), so the ceiling
+# becomes HBM + the SMEM bitmask budget: ceil(nc/32) words per subgroup
+# must keep the per-cast chunk >= one pairs_block
+# (render/pipeline.trace_chunked), i.e. nc <= SMEM_WORDS*subg/pairs_block
+# = 16384 tiles = 2M triangle slots at the defaults.
+ST_SLOTS = 32768
+MAX_SLOTS = 2**21
 # Known-good SMEM budget for the culling bitmask, in words: W * (chunk /
 # subg) at the default chunk 262144, subg 16, W = 8 (255 tiles).
 SMEM_WORDS = 131072
@@ -248,10 +250,13 @@ def build_pairs_tables(A, B, C, bvh, tile_t: int = TILE_T) -> PairsMeshTables:
     if nc * tile_t > MAX_SLOTS:
         raise PairsMeshTooLarge(
             f"mesh too large for the pairs kernel ({nc} tiles x {tile_t} "
-            f"slots > {MAX_SLOTS}): the whole (24, nc*tile_t) field table "
-            "is VMEM-resident per program — use traversal='pallas'"
+            f"slots > {MAX_SLOTS}): the culling bitmask would exceed the "
+            "SMEM budget at one ray block per cast — use traversal='pallas'"
         )
     f = fields_from_corners(A, B, C, slot_src)
+    if f.shape[1] > ST_SLOTS and f.shape[1] % ST_SLOTS:
+        # streamed supertiles need whole ST_SLOTS-wide field blocks
+        f = np.pad(f, ((0, 0), (0, ST_SLOTS - f.shape[1] % ST_SLOTS)))
 
     aabb = np.zeros((nc, 8), np.float32)
     for j in range(nc):
@@ -328,34 +333,51 @@ def _pair_bits(O, u, aabb, nc, subg, blk, cap=None, active=None,
     S = R // subg
     W = -(-nc // 32)
     if members is not None:
-        aabb, member_tile = members
-        nb = aabb.shape[0]
+        boxes, member_tile = members
     else:
-        nb = nc
-    enter, _exit, hit = slab_enter_exit(O, u, aabb, nb)
-    if cap is not None:
-        hit = hit & (enter <= cap[None, :])
-    if active is not None:
-        hit = hit & active[None, :]
-    mi = hit.reshape(nb, S, subg).any(axis=2).astype(jnp.int32)  # (nb, S)
-    if members is not None:
-        mi = jnp.zeros((nc, S), jnp.int32).at[member_tile].max(mi)
-    words = []
-    for w in range(W):
-        acc = jnp.zeros((S,), jnp.int32)
-        for j in range(min(32, nc - 32 * w)):
-            acc = acc | (mi[32 * w + j] << j)
-        words.append(acc)
-    return jnp.stack(words, axis=0)                              # (W, S)
+        boxes, member_tile = aabb, None
+    nb = boxes.shape[0]
+    # Batch the slab tests over boxes: the (nb, R) enter/hit intermediates
+    # would otherwise reach GBs of HBM for big meshes (nb grows with the
+    # mesh; R is the cast) — MB bounds the peak to (MB, R).
+    MB = 512
+    mi = jnp.zeros((nc, S), jnp.int32)
+    for b0 in range(0, nb, MB):
+        bs = boxes[b0 : b0 + MB]
+        nbb = bs.shape[0]
+        enter, _exit, hit = slab_enter_exit(O, u, bs, nbb)
+        if cap is not None:
+            hit = hit & (enter <= cap[None, :])
+        if active is not None:
+            hit = hit & active[None, :]
+        h = hit.reshape(nbb, S, subg).any(axis=2).astype(jnp.int32)
+        if member_tile is None:
+            mi = mi.at[b0 : b0 + nbb].max(h)
+        else:
+            mi = mi.at[member_tile[b0 : b0 + nbb]].max(h)
+    # Vectorized word packing: bit j of word w = tile 32w+j (mi is 0/1, so
+    # the sum of distinct powers of two equals the OR; int32 wrap at bit 31
+    # reproduces the sign bit exactly).
+    pad = W * 32 - nc
+    if pad:
+        mi = jnp.pad(mi, ((0, pad), (0, 0)))
+    sh = jnp.arange(32, dtype=jnp.int32)
+    return jnp.sum(mi.reshape(W, 32, S) << sh[None, :, None], axis=1)
 
 
-def _mt_tile(rf_ref, tri_ref, rows, off, eps_leaf, tile_t=TILE_T):
+def _mt_tile(cols, tri_ref, off, eps_leaf, tile_t=TILE_T):
     """Moller-Trumbore for one (subg-ray, tile_t-tri) visit; returns
-    (t_masked, orig_id_row)."""
-    col = lambda k: rf_ref[rows, k : k + 1]
-    ux, uy, uz = col(0), col(1), col(2)
-    wx, wy, wz = col(3), col(4), col(5)
-    Ox, Oy, Oz = col(6), col(7), col(8)
+    (t_masked, orig_id_row).
+
+    cols: the 9 ray-feature columns [u, w, O] ALREADY materialized as
+    (subg, tile_t) broadcasts.  Extracting a (subg, 1) column from the
+    (blk, 16) scratch is a lane-select that costs ~16 cycles per feature —
+    at 9 features that was ~150 ns/visit, the entire measured per-visit
+    cost (r3 probe: a visit doing only the 9 column extracts costs MORE
+    than the full MT).  The caller hoists the extract+broadcast to
+    per-subgroup scope (s_body), amortizing it over the subgroup's visits
+    (mean ~3.1-3.4 on real wavefronts -> kernel -34%)."""
+    ux, uy, uz, wx, wy, wz, Ox, Oy, Oz = cols
     tile = tri_ref[:, pl.ds(off, tile_t)]        # (24, tile_t)
     row = lambda k: tile[k : k + 1, :]
     denom = ux * row(0) + uy * row(1) + uz * row(2)
@@ -375,9 +397,19 @@ def _mt_tile(rf_ref, tri_ref, rows, off, eps_leaf, tile_t=TILE_T):
     return jnp.where(valid, tval, INF), row(16)
 
 
-def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t,
+def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
                   bits_ref, summ_ref, dbj_ref, rfT_ref, tri_ref, *refs):
     """Bitmask-driven pair walk for one ray block.
+
+    Streaming (n_st > 1): the field table exceeds the VMEM budget, so the
+    grid gains a minor SUPERTILE axis — Pallas DMAs one ST_SLOTS-wide
+    field block per (block, supertile) step (double-buffered across steps
+    by the pipeline) while t_run/idx_run persist in scratch across the
+    supertile sweep; init runs at st == 0, the epilogue at st == n_st-1,
+    and the walk covers only that supertile's wps bitmask words.  This is
+    the TPU form of "any mesh VRAM fits" (different-versions/array_bvh.cu):
+    the mesh ceiling becomes HBM, at the cost of streaming the table past
+    each ray block.
 
     The walk is two-level: per block the scalar core first scans SUMMARY
     words (bit g of summary word (w, s32) set iff subgroup 32*s32+g has any
@@ -399,20 +431,28 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t,
         t_ref, rf_s, t_run = refs
         idx_ref = idx_run = None
     b = pl.program_id(0)
+    st = pl.program_id(1) if n_st > 1 else 0
     n_sg = blk // subg
-    # one in-VMEM transpose per block: (16, blk) rows -> (blk, 16) columns
-    rf_s[:] = rfT_ref[0].T
-    t_run[:] = jnp.full((blk, tile_t), INF, jnp.float32)
-    # idx_run is NOT initialized: every (ray, lane) slot with t_run < INF was
-    # written by some visit, which wrote idx_run too; the epilogue only
-    # reads idx_run where t_run < INF, so stale scratch is never observed
-    # (saves a 2 MB fill per block).  Ids are kept as f32 (exact: < 2^24) —
-    # the tile's id row is already f32, so the visit update has no casts.
 
-    def visit(sg, tile):
-        rows = pl.ds(sg * subg, subg)
+    def init():
+        # one in-VMEM transpose per block: (16, blk) rows -> (blk, 16) cols
+        rf_s[:] = rfT_ref[0].T
+        t_run[:] = jnp.full((blk, tile_t), INF, jnp.float32)
+        # idx_run is NOT initialized: every (ray, lane) slot with
+        # t_run < INF was written by some visit, which wrote idx_run too;
+        # the epilogue only reads idx_run where t_run < INF, so stale
+        # scratch is never observed (saves a 2 MB fill per block).  Ids
+        # are kept as f32 (exact: < 2^24) — the tile's id row is already
+        # f32, so the visit update has no casts.
+
+    if n_st == 1:
+        init()
+    else:
+        pl.when(st == 0)(init)
+
+    def visit(rows, cols, tile):
         off = pl.multiple_of(tile * tile_t, tile_t)
-        t, oid = _mt_tile(rf_s, tri_ref, rows, off, eps_leaf, tile_t)
+        t, oid = _mt_tile(cols, tri_ref, off, eps_leaf, tile_t)
         if track_idx:
             # lexicographic (t, original id): packed tiles are not visited
             # in ascending-id order, so equal-t ties must compare ids to
@@ -427,10 +467,13 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t,
             t_run[rows, :] = jnp.minimum(t_run[rows, :], t)
 
     n_s32 = -(-n_sg // 32)
+    # Word range of this supertile (whole table when not streaming); the
+    # visit's field offset is supertile-LOCAL.
+    w_lo = st * wps if n_st > 1 else 0
 
     def sw_body(i, c):
-        w = i // n_s32
-        s32 = i - w * n_s32
+        w = w_lo + i // n_s32
+        s32 = i - (i // n_s32) * n_s32
         sword0 = summ_ref[w, b * n_s32 + s32]
 
         def s_cond(sword):
@@ -440,6 +483,15 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t,
             lows = sword & -sword
             g = dbj_ref[((lows * _DEBRUIJN_M) >> 27) & 31]
             sg = s32 * 32 + g
+            rows = pl.ds(sg * subg, subg)
+            # Hoisted per-subgroup: materialize the 9 ray-feature columns
+            # as (subg, tile_t) broadcasts ONCE per (subgroup, word) — the
+            # per-visit lane-select extraction was the dominant kernel
+            # cost (see _mt_tile docstring; -34% measured).
+            cols = [
+                jnp.broadcast_to(rf_s[rows, k : k + 1], (subg, tile_t))
+                for k in range(9)
+            ]
             word0 = bits_ref[w, b * n_sg + sg]
 
             def cond(word):
@@ -448,7 +500,7 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t,
             def body(word):
                 low = word & -word
                 j = dbj_ref[((low * _DEBRUIJN_M) >> 27) & 31]
-                visit(sg, w * 32 + j)
+                visit(rows, cols, (w - w_lo) * 32 + j)
                 return word & (word - 1)
 
             jax.lax.while_loop(cond, body, word0)
@@ -457,20 +509,30 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t,
         jax.lax.while_loop(s_cond, s_body, sword0)
         return c
 
-    jax.lax.fori_loop(0, W * n_s32, sw_body, 0)
+    if n_st == 1:
+        n_words = W
+    else:
+        n_words = jnp.minimum(W - w_lo, wps)
+    jax.lax.fori_loop(0, n_words * n_s32, sw_body, 0)
 
-    for r in range(blk // LANES):
-        sl = pl.ds(r * LANES, LANES)
-        t_min = jnp.min(t_run[sl, :], axis=1)
-        t_ref[r : r + 1, :] = t_min.reshape(1, LANES)
-        if track_idx:
-            win = (t_run[sl, :] == t_min[:, None]) & (t_run[sl, :] < INF)
-            idx = jnp.min(
-                jnp.where(win, idx_run[sl, :], float(_IDX_BIG)), axis=1
-            ).astype(jnp.int32)
-            idx_ref[r : r + 1, :] = (
-                jnp.where(idx == _IDX_BIG, 0, idx).reshape(1, LANES)
-            )
+    def epilogue():
+        for r in range(blk // LANES):
+            sl = pl.ds(r * LANES, LANES)
+            t_min = jnp.min(t_run[sl, :], axis=1)
+            t_ref[r : r + 1, :] = t_min.reshape(1, LANES)
+            if track_idx:
+                win = (t_run[sl, :] == t_min[:, None]) & (t_run[sl, :] < INF)
+                idx = jnp.min(
+                    jnp.where(win, idx_run[sl, :], float(_IDX_BIG)), axis=1
+                ).astype(jnp.int32)
+                idx_ref[r : r + 1, :] = (
+                    jnp.where(idx == _IDX_BIG, 0, idx).reshape(1, LANES)
+                )
+
+    if n_st == 1:
+        epilogue()
+    else:
+        pl.when(st == n_st - 1)(epilogue)
 
 
 def _summary_words(bits, nb: int, n_sg: int) -> jnp.ndarray:
@@ -503,8 +565,26 @@ def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
     # (nb, 16, blk) makes each block's features one contiguous transfer.
     # The permute is major-dim only (minor stays blk) — full-bandwidth.
     rfT = jnp.moveaxis(rfT.reshape(16, R // blk, blk), 1, 0)
+    cols = fields.shape[1]
+    if cols <= ST_SLOTS:
+        n_st, blk_cols, wps = 1, cols, W
+        grid = (R // blk,)
+        fields_map = lambda i, *_: (0, 0)
+        ray_map = lambda i, *_: (i, 0, 0)
+        out_map = lambda i, *_: (i, 0)
+    else:
+        # Streamed supertiles: one ST_SLOTS-wide field block per minor grid
+        # step; t_run persists across the sweep (see _pairs_kernel).
+        assert cols % ST_SLOTS == 0, cols
+        n_st, blk_cols = cols // ST_SLOTS, ST_SLOTS
+        wps = ST_SLOTS // tile_t // 32
+        assert wps >= 1, (tile_t, ST_SLOTS)
+        grid = (R // blk, n_st)
+        fields_map = lambda i, st, *_: (0, st)
+        ray_map = lambda i, st, *_: (i, 0, 0)
+        out_map = lambda i, st, *_: (i, 0)
     out_specs = [
-        pl.BlockSpec((blk // LANES, LANES), lambda i, *_: (i, 0),
+        pl.BlockSpec((blk // LANES, LANES), out_map,
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((R // LANES, LANES), jnp.float32)]
@@ -514,27 +594,30 @@ def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
     ]
     if track_idx:
         out_specs.append(
-            pl.BlockSpec((blk // LANES, LANES), lambda i, *_: (i, 0),
+            pl.BlockSpec((blk // LANES, LANES), out_map,
                          memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((R // LANES, LANES), jnp.int32))
         scratch.append(pltpu.VMEM((blk, tile_t), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # bitmask words + summary words + de Bruijn
-        grid=(R // blk,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 16, blk), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_FIELDS, fields.shape[1]), lambda i, *_: (0, 0),
+            pl.BlockSpec((1, 16, blk), ray_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_FIELDS, blk_cols), fields_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(
-        _pairs_kernel, eps_leaf, track_idx, subg, blk, nc, W, tile_t)
+        _pairs_kernel, eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st,
+        wps)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * len(grid))
     out = pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret, compiler_params=compiler_params,
     )(bits, summ, jnp.asarray(_DEBRUIJN_TABLE), rfT, fields)
     if track_idx:
         return out[0].reshape(-1), out[1].reshape(-1)

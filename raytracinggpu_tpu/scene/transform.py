@@ -159,6 +159,9 @@ def _pairs_tables_jax(A: Vec3, B: Vec3, C: Vec3, old):
     f = fields_from_corners(
         stackv(A), stackv(B), stackv(C), slot, np_mod=jnp
     )
+    if f.shape[1] != old.fields.shape[1]:
+        # streamed big meshes pad fields to whole supertile blocks
+        f = jnp.pad(f, ((0, 0), (0, old.fields.shape[1] - f.shape[1])))
     nc = old.tile_aabb.shape[0]
     live = slot >= 0
     idx = jnp.maximum(slot, 0)

@@ -1,7 +1,7 @@
 """Large-mesh paths: >126 tiles forces int16 tile lists (the int8 fast path
-would silently wrap) in the pallas kernel; the pairs kernel handles up to
-MAX_TILES=512 cluster tiles (W up to 16 bitmask words) and falls back to
-pallas past that."""
+would silently wrap) in the pallas kernel; the pairs kernel STREAMS field
+supertiles for meshes past the VMEM-resident block (ST_SLOTS) and falls
+back to pallas only past MAX_SLOTS (SMEM bitmask budget)."""
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,24 +69,64 @@ def test_tie_break_lowest_index(rng):
     assert (np.asarray(ph.idx) == 0).all()
 
 
-def test_pairs_fallback_for_huge_mesh(rng):
-    """A mesh past the pairs kernel's cluster budget must not crash scene
-    build: build_scene_tables warns, leaves pairs_mesh=None, and the
-    integrator's effective traversal silently falls back to the pallas tile
-    kernel (wavefront._effective_traversal) so traversal='pairs' still
-    renders."""
+def test_pairs_streams_huge_mesh(rng):
+    """A 52k-tri soup (~600 tiles, fields past the ST_SLOTS VMEM block)
+    now STAYS on the production pairs kernel via supertile streaming
+    (n_st > 1 field blocks DMA'd per ray block); closest hits must match
+    the dense oracle exactly on the hit set and winner index."""
+    from raytracinggpu_tpu.accel.bvh import build_bvh
+    from raytracinggpu_tpu.ops.pairs_trace import (
+        ST_SLOTS,
+        build_pairs_tables,
+        intersect_tris_pairs,
+    )
+
+    n = 52000
+    A, B, C = _big_mesh(rng, n)
+    bvh = build_bvh(A, B, C)
+    Ao, Bo, Co = A[bvh.order], B[bvh.order], C[bvh.order]
+    tab = build_pairs_tables(Ao, Bo, Co, bvh)
+    assert tab.fields.shape[1] > ST_SLOTS          # streamed
+    assert tab.fields.shape[1] % ST_SLOTS == 0     # whole supertile blocks
+
+    m = 256
+    o = rng.uniform(-25, 25, (m, 3)).astype(np.float32)
+    d = rng.standard_normal((m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    ph = intersect_tris_pairs(O, u, tab, 1e-4, interpret=True, blk=256)
+    pad = -(-n // 512) * 512
+    dh = intersect_tris_dense(
+        O, u, build_tri_tables(Ao, Bo, Co, pad_to=pad), eps_leaf=1e-4)
+    t_p, t_d = np.asarray(ph.t), np.asarray(dh.t)
+    np.testing.assert_array_equal(t_p < INF, t_d < INF)
+    hit = t_p < INF
+    np.testing.assert_allclose(t_p[hit], t_d[hit], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(ph.idx)[hit], np.asarray(dh.idx)[hit])
+
+
+def test_pairs_fallback_past_cap(rng, monkeypatch):
+    """A mesh past MAX_SLOTS must not crash scene build: build_scene_tables
+    warns, leaves pairs_mesh=None, and the integrator falls back to the
+    pallas tile kernel (wavefront._effective_traversal) so
+    traversal='pairs' still renders.  The cap is patched down so a small
+    soup triggers the path."""
     import warnings
 
     from raytracinggpu_tpu.integrator.wavefront import (
         _effective_traversal,
         intersect_all,
     )
+    from raytracinggpu_tpu.ops import pairs_trace
     from raytracinggpu_tpu.scene.mesh import build_mesh
     from raytracinggpu_tpu.scene.obj import ObjMesh
     from raytracinggpu_tpu.scene.presets import wall_spheres
     from raytracinggpu_tpu.scene.scene import RenderConfig, build_scene_tables
 
-    n = 52000
+    monkeypatch.setattr(pairs_trace, "MAX_SLOTS", 4096)
+    n = 17000
     A, B, C = _big_mesh(rng, n)
     V = np.concatenate([A, B, C], axis=0).astype(np.float32)
     vtx = np.arange(3 * n, dtype=np.int32).reshape(3, n).T
