@@ -55,6 +55,12 @@ def main() -> None:
     dt = min(times)
     mrays = rays_per_frame(cfg) / dt / 1e6
 
+    breakdown = {}
+    try:
+        breakdown = cast_breakdown(cfg, tables)
+    except Exception as e:  # breakdown is evidence, never a bench blocker
+        breakdown = {"error": f"{type(e).__name__}: {e}"[:160]}
+
     print(
         json.dumps(
             {
@@ -62,9 +68,98 @@ def main() -> None:
                 "value": round(mrays, 2),
                 "unit": "Mray/s",
                 "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+                "breakdown": breakdown,
             }
         )
     )
+
+
+def cast_breakdown(cfg, tables) -> dict:
+    """Per-cast cost split on a REAL depth-1 wavefront (512^2, one sample):
+    full cast vs kernel-only vs culling bits, for closest and shadow —
+    regression visibility for where the frame time goes (VERDICT r2 item
+    7).  All numbers are timed_scan(iters=30) values; 'floor_ms' is the
+    same harness on a trivial body (the ~29 ms dispatch amortization +
+    scan overhead) — subtract it to compare kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracinggpu_tpu.bench._timing import timed_scan
+    from raytracinggpu_tpu.core.rng import box_muller_jitter, cosine_hemisphere
+    from raytracinggpu_tpu.core.vec import Vec3, vwhere
+    from raytracinggpu_tpu.integrator import wavefront as wf
+    from raytracinggpu_tpu.ops import pairs_trace as pt
+    from raytracinggpu_tpu.ops.sphere import intersect_spheres
+    from raytracinggpu_tpu.render.pipeline import Camera, raygen, row_uniforms
+
+    import numpy as np
+
+    cam = Camera.fixed(cfg.camera_c)
+
+    @jax.jit
+    def depth1_wavefront(key):
+        """One jitted replay of depth 0 -> the depth-1 closest/shadow rays."""
+        key_s = jax.random.fold_in(key, 0)
+        rows = jnp.arange(cfg.height, dtype=jnp.int32)
+        un = row_uniforms(key_s, rows, cfg.width, 2)
+        gx, gy = box_muller_jitter(un[0, 0], un[0, 1], np.float32(cfg.sigma))
+        O, u = raygen(cfg, cam, gx, gy, rows)
+        h = wf.intersect_all(tables, cfg, O, u)
+        hit = h.obj >= 0
+        oid = jnp.maximum(h.obj, 0)
+        mats = tables.materials
+        is_mirror = hit & mats.mirror[oid]
+        is_refr = hit & (~mats.mirror[oid]) & (
+            mats.in_ri[oid] != mats.out_ri[oid])
+        is_diff = hit & (~is_mirror) & (~is_refr)
+        eps = np.float32(cfg.eps_bounce)
+        P_adj = h.P + h.N * eps
+        Lv = tables.L - P_adj
+        wl = (tables.L - h.P).normalized()
+        sh_active = is_diff & (h.N.dot(wl) > 0.0)
+        u_dif = cosine_hemisphere(un[1, 0], un[1, 1], h.N)
+        u_mir = u - h.N * (2.0 * u.dot(h.N))
+        O1 = vwhere(is_diff, P_adj, vwhere(is_mirror, h.P + h.N * eps, O))
+        u1 = vwhere(is_diff, u_dif, vwhere(is_mirror, u_mir, u))
+        return O1, u1, P_adj, Lv.normalized(), Lv.norm(), sh_active
+
+    O1, u1, shO, shu, shcap, sh_active = jax.block_until_ready(
+        depth1_wavefront(jax.random.PRNGKey(0)))
+    out = {}
+    out["floor_ms"] = round(
+        timed_scan(lambda x: x + 1.0, (jnp.ones((128,)),), 30) * 1e3, 3)
+    t_s, _, _ = intersect_spheres(O1, u1, tables.spheres)
+    out["closest_d1_full_ms"] = round(timed_scan(
+        lambda O, u: wf.intersect_all(tables, cfg, O, u).t, (O1, u1), 30
+    ) * 1e3, 3)
+    out["shadow_d1_full_ms"] = round(timed_scan(
+        lambda O, u: wf.occlusion_distance(
+            tables, cfg, O, u, Vec3(shu.x * shcap, shu.y * shcap,
+                                    shu.z * shcap), active=sh_active),
+        (shO, shu), 30) * 1e3, 3)
+    if tables.pairs_mesh is not None and cfg.traversal == "pairs":
+        tab = tables.pairs_mesh
+        nc = tab.tile_aabb.shape[0]
+        subg, blk = cfg.pairs_subgroup, cfg.pairs_block
+        O2, u2, cap2, _, _, _ = pt._prep(O1, u1, t_s, blk)
+        rfT = jax.block_until_ready(pt._ray_feature_rows(O2, u2))
+        bits = jax.block_until_ready(pt._pair_bits(
+            O2, u2, tab.tile_aabb, nc, subg, blk, cap=cap2,
+            members=pt._members_of(tab)))
+        out["closest_d1_kernel_ms"] = round(timed_scan(
+            lambda rfT, b: pt._pairs_call(
+                rfT, tab.fields, b, float(cfg.eps_leaf), True, subg, blk,
+                nc, False, pt.tile_width(tab))[0],
+            (rfT, bits), 30) * 1e3, 3)
+        out["closest_d1_bits_ms"] = round(timed_scan(
+            lambda O, u: pt._pair_bits(
+                O, u, tab.tile_aabb, nc, subg, blk, cap=cap2,
+                members=pt._members_of(tab)),
+            (O2, u2), 30) * 1e3, 3)
+        out["closest_d1_pairs"] = int(sum(
+            int(bin(int(w) & 0xFFFFFFFF).count("1"))
+            for w in np.asarray(bits).reshape(-1)))
+    return out
 
 
 if __name__ == "__main__":

@@ -134,6 +134,12 @@ ABLATION_MODES = {
                            "columns); same reduced size as bvh_skiplinks"},
     "spp_fuse1": {"spp_fuse": 1},
     "spp_fuse8": {"spp_fuse": 8},
+    # tile-width axis (r3): fatter tiles cut scalar-walk visits but pay
+    # more VPU math and vreg pressure under the hoisted broadcasts
+    "pairs_tile256": {"pairs_tile": 256},
+    "pairs_tile512": {"pairs_tile": 512, "pairs_block": 2048,
+                      "_note": "blk halved: (blk, 512) t/idx scratch at "
+                               "4096 rays exceeds the 16 MB VMEM budget"},
 }
 
 
@@ -180,6 +186,34 @@ def one_ablation_row(name: str, quick=False) -> dict:
     if note:
         row["note"] = note
     return row
+
+
+def interactive_rows(quick=False):
+    """True host-loop interactive rates (pipelined run_loop: frame n+1 is
+    dispatched before frame n is read back, hiding the per-dispatch host
+    cost the way the reference's free-running GLUT pump does)."""
+    from raytracinggpu_tpu.render.realtime import run_loop
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    rows = {}
+    n = 6 if quick else 20
+    for name, w, h, spp, depth in [
+        ("realtime_interactive_512", 512, 512, 2, 2),
+        ("realtime_interactive_800x600", 800, 600, 2, 2),
+        ("realtime_interactive_800x600_spp1_d2", 800, 600, 1, 2),
+    ]:
+        cfg, tables = build_preset(
+            "realtime", width=w, height=h, spp=spp, max_depth=depth)
+        _, summary = run_loop(tables, cfg, n, print_every=0)
+        rows[name] = {
+            "spp": spp, "depth": depth,
+            "ms_per_frame": round(summary["mean_ms"], 1),
+            "fps": round(summary["fps"], 2),
+            "note": "pipelined run_loop (1-frame latency), per-frame PNG "
+                    "write excluded",
+        }
+        print(name, rows[name], flush=True)
+    return rows
 
 
 def ablation_rows(quick=False):
@@ -237,13 +271,16 @@ def main():
 
     ensure_sync_async()
 
-    only = a.only.split(",") if a.only else ["frames", "realtime", "ablations"]
-    if "frames" in only or "realtime" in only:
+    only = (a.only.split(",") if a.only
+            else ["frames", "realtime", "interactive", "ablations"])
+    if "frames" in only or "realtime" in only or "interactive" in only:
         results = {}
         if "frames" in only:
             results.update(frame_rows(a.quick))
         if "realtime" in only:
             results.update(realtime_rows(a.quick))
+        if "interactive" in only:
+            results.update(interactive_rows(a.quick))
         path = f"{a.out}/tpu_results.json"
         try:
             old = json.load(open(path))

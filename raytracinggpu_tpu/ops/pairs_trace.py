@@ -644,6 +644,24 @@ def _prep(O, u, cap, blk, active=None):
     return O, u, cap, active, R, pad
 
 
+def smem_ray_cap(nc: int, subg: int, blk: int) -> int:
+    """Largest per-call ray count whose (W, R/subg) culling bitmask fits
+    the known-good SMEM budget (SMEM_WORDS words), rounded to whole
+    kernel blocks.  The render pipeline applies this at the cast level
+    (render/pipeline.trace_chunked); the entry points below also enforce
+    it so DIRECT callers can't overflow SMEM on big meshes."""
+    W = -(-nc // 32)
+    return max(blk, SMEM_WORDS * subg // W // blk * blk)
+
+
+def _chunked(R: int, cap_rays: int, fn):
+    """Run fn(lo, hi) over ray slices of at most cap_rays, concat results."""
+    if R <= cap_rays:
+        return fn(0, R)
+    outs = [fn(lo, min(lo + cap_rays, R)) for lo in range(0, R, cap_rays)]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+
+
 def intersect_tris_pairs(
     O: Vec3,
     u: Vec3,
@@ -658,14 +676,22 @@ def intersect_tris_pairs(
     ORIGINAL (BVH-order) triangle index — drop-in compatible with the
     pallas mode's winner recovery (normals, barycentrics)."""
     O, u, cap, _, R, pad = _prep(O, u, cap, blk)
-    rfT = _ray_feature_rows(O, u)
     nc = tab.tile_aabb.shape[0]
-    bits = _pair_bits(O, u, tab.tile_aabb, nc, subg, blk, cap=cap,
-                      members=_members_of(tab))
-    t, idx = _pairs_call(
-        rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc,
-        interpret, tile_width(tab)
-    )
+
+    def one(lo, hi):
+        sl = slice(lo, hi)
+        Oc = Vec3(O.x[sl], O.y[sl], O.z[sl])
+        uc = Vec3(u.x[sl], u.y[sl], u.z[sl])
+        rfT = _ray_feature_rows(Oc, uc)
+        bits = _pair_bits(Oc, uc, tab.tile_aabb, nc, subg, blk,
+                          cap=None if cap is None else cap[sl],
+                          members=_members_of(tab))
+        return _pairs_call(
+            rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc,
+            interpret, tile_width(tab)
+        )
+
+    t, idx = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)
     if pad:
         t, idx = t[:R], idx[:R]
     z = jnp.zeros_like(t)
@@ -691,12 +717,21 @@ def intersect_tris_pairs_shadow(
     (the integrator's direct term is exactly zero) contribute no pair
     work and return INF."""
     O, u, cap, active, R, pad = _prep(O, u, cap, blk, active)
-    rfT = _ray_feature_rows(O, u)
     nc = tab.tile_aabb.shape[0]
-    bits = _pair_bits(O, u, tab.tile_aabb, nc, subg, blk, cap=cap,
-                      active=active, members=_members_of(tab))
-    t = _pairs_call(
-        rfT, tab.fields, bits, float(eps_leaf), False, subg, blk, nc,
-        interpret, tile_width(tab)
-    )
+
+    def one(lo, hi):
+        sl = slice(lo, hi)
+        Oc = Vec3(O.x[sl], O.y[sl], O.z[sl])
+        uc = Vec3(u.x[sl], u.y[sl], u.z[sl])
+        rfT = _ray_feature_rows(Oc, uc)
+        bits = _pair_bits(Oc, uc, tab.tile_aabb, nc, subg, blk,
+                          cap=None if cap is None else cap[sl],
+                          active=None if active is None else active[sl],
+                          members=_members_of(tab))
+        return _pairs_call(
+            rfT, tab.fields, bits, float(eps_leaf), False, subg, blk, nc,
+            interpret, tile_width(tab)
+        )
+
+    t = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)
     return t[:R] if pad else t

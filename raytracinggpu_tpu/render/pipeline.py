@@ -179,17 +179,14 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
         # the known-good budget (ops/pairs_trace.SMEM_WORDS — established
         # at W=8, chunk 262144, subg 16).  Mesh-less scenes never build the
         # bitmask, so they keep the full configured chunk.
-        from raytracinggpu_tpu.ops.pairs_trace import SMEM_WORDS
+        from raytracinggpu_tpu.ops.pairs_trace import smem_ray_cap
 
         if scene.pairs_mesh is None:
             cap = cfg.pairs_chunk
         else:
-            W = -(-scene.pairs_mesh.tile_aabb.shape[0] // 32)
-            cap = max(
-                cfg.pairs_block,
-                SMEM_WORDS * cfg.pairs_subgroup // W
-                // cfg.pairs_block * cfg.pairs_block,
-            )
+            cap = smem_ray_cap(
+                scene.pairs_mesh.tile_aabb.shape[0],
+                cfg.pairs_subgroup, cfg.pairs_block)
         cap = min(cfg.pairs_chunk, cap)
         # Balance the chunks: 800x600 = 480k rays would otherwise pad up to
         # 2 x 262144 (9% of all pair math spent on padding); splitting into

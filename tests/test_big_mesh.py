@@ -202,3 +202,34 @@ def test_meshless_scene_keeps_pairs_traversal():
                                max_depth=2)
     assert tables.mesh is None and tables.pairs_mesh is None
     assert _effective_traversal(cfg, tables) == "pairs"
+
+
+def test_direct_api_chunks_by_smem_budget(rng, monkeypatch, cat_mesh_raw):
+    """intersect_tris_pairs called DIRECTLY (not through the pipeline) must
+    split the ray batch so the culling bitmask fits SMEM — previously only
+    trace_chunked protected against this, and a big-mesh direct call could
+    request a multi-MB SMEM prefetch.  Patching the budget tiny forces the
+    multi-chunk path; results must be identical."""
+    from raytracinggpu_tpu.ops import pairs_trace as pt
+    from raytracinggpu_tpu.scene.mesh import build_mesh
+
+    mesh = build_mesh(cat_mesh_raw)
+    tab = pt.build_pairs_tables(mesh.A, mesh.B, mesh.C, mesh.bvh)
+
+    m = 1024
+    o = rng.uniform(-30, 30, (m, 3)).astype(np.float32)
+    d = rng.standard_normal((m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    ref = pt.intersect_tris_pairs(O, u, tab, 1e-4, interpret=True, blk=256)
+    nc = tab.tile_aabb.shape[0]
+    assert pt.smem_ray_cap(nc, 16, 256) >= m  # unchunked reference
+    monkeypatch.setattr(pt, "SMEM_WORDS", 16 * 2)  # cap -> 1 block chunks
+    assert pt.smem_ray_cap(nc, 16, 256) < m
+    chunked = pt.intersect_tris_pairs(O, u, tab, 1e-4, interpret=True,
+                                      blk=256)
+    np.testing.assert_array_equal(np.asarray(chunked.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(chunked.idx),
+                                  np.asarray(ref.idx))
