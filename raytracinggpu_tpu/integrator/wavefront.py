@@ -71,6 +71,41 @@ def _effective_traversal(cfg: RenderConfig, scene: SceneTables) -> str:
     return cfg.traversal
 
 
+def _fused_smooth_recovery(scene: SceneTables, O: Vec3, u: Vec3, mh):
+    """Winner-only Phong normal via ONE (R, 28) row gather.
+
+    The previous path ran TWO independent (R,) row gathers per closest
+    cast (recompute_barycentrics on fieldsT + smooth_normal on cornersT)
+    plus their glue; measured on real 480k-ray wavefronts that cost
+    ~9.3 ms per cast — more than the traversal kernel itself.  Every
+    per-winner quantity lives in one concatenated recovery row instead:
+    cols 0-15 the MT field row (barycentrics, pallas_trace layout), cols
+    16-24 the three vertex normals (cornersT).  The concat is (Tp, 28) —
+    loop-invariant, ~0.5 MB, hoisted out of the depth scan by XLA — so
+    the per-cast cost is a single row gather.
+
+    Returns (unnormalized smooth normal, beta, gamma); semantics exactly
+    get_smooth_normal (realtime_render.cu:221-245)."""
+    rec = jnp.concatenate(
+        [scene.pallas_mesh.fieldsT, scene.mesh.cornersT[:, :12]], axis=1)
+    rows = rec[mh.idx]
+    g = lambda k: rows[:, k]
+    w = O.cross(u)
+    denom = u.x * g(0) + u.y * g(1) + u.z * g(2)
+    bnum = (u.x * g(3) + u.y * g(4) + u.z * g(5)) - (
+        w.x * g(6) + w.y * g(7) + w.z * g(8))
+    gnum = (w.x * g(12) + w.y * g(13) + w.z * g(14)) - (
+        u.x * g(9) + u.y * g(10) + u.z * g(11))
+    rden = 1.0 / denom
+    beta = bnum * rden
+    gamma = gnum * rden
+    alpha = 1.0 - beta - gamma
+    na = Vec3(g(16), g(17), g(18))
+    nb = Vec3(g(19), g(20), g(21))
+    nc = Vec3(g(22), g(23), g(24))
+    return na * alpha + nb * beta + nc * gamma, beta, gamma
+
+
 def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hit:
     """Scene-wide nearest hit: batched sphere pass + mesh pass merged by
     min-t (Scene::intersect_all, global_launcher.cu:716-736).  The mesh holds
@@ -99,27 +134,19 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
                 O, u, scene.pallas_mesh, cfg.eps_leaf, interpret=interpret,
                 sort_rays=cfg.ray_sort, cap=t_s, subg=cfg.pallas_subgroup,
             )
-            if cfg.smooth_normals:
-                beta, gamma = recompute_barycentrics(O, u, scene.pallas_mesh, mh)
-                mh = mh._replace(beta=beta, gamma=gamma)
         elif traversal == "pairs":
             from raytracinggpu_tpu.ops.pairs_trace import intersect_tris_pairs
-            from raytracinggpu_tpu.ops.pallas_trace import (
-                recompute_barycentrics,
-            )
 
             interpret = jax.devices()[0].platform != "tpu"
-            mh = intersect_tris_pairs(
+            # The winner normal is tracked IN the kernel (payload): any
+            # post-kernel per-winner recovery pays the XLA
+            # (R, small)-column wall (~9 ms/cast for smooth at 480k rays).
+            mh, N_pairs = intersect_tris_pairs(
                 O, u, scene.pairs_mesh, cfg.eps_leaf, cap=t_s,
                 interpret=interpret, subg=cfg.pairs_subgroup,
                 blk=cfg.pairs_block,
+                payload="smooth" if cfg.smooth_normals else "geom",
             )
-            if cfg.smooth_normals:
-                # winner idx is the ORIGINAL BVH-order id, so the pallas
-                # fieldsT row-gather recovery applies unchanged
-                beta, gamma = recompute_barycentrics(
-                    O, u, scene.pallas_mesh, mh)
-                mh = mh._replace(beta=beta, gamma=gamma)
         elif traversal == "bvh":
             from raytracinggpu_tpu.ops.bvh_traverse import intersect_tris_bvh
 
@@ -131,10 +158,18 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
         else:
             raise ValueError(f"unknown traversal mode {traversal!r}")
 
-        if cfg.smooth_normals:
+        if traversal == "pairs":
+            N_m = N_pairs  # tracked in-kernel (geometric or smooth)
+        elif cfg.smooth_normals:
             # realtime_render.cu:309-311: after the closest hit, the geometric
             # normal is replaced by the Phong-interpolated vertex normal.
-            N_m = smooth_normal(scene.mesh, mh)
+            if traversal == "pallas":
+                # winner idx is the BVH-order id, so the fused single-gather
+                # recovery applies
+                N_m, beta, gamma = _fused_smooth_recovery(scene, O, u, mh)
+                mh = mh._replace(beta=beta, gamma=gamma)
+            else:
+                N_m = smooth_normal(scene.mesh, mh)
         else:
             N_m = geometric_normal(scene.mesh, mh)
         nn = N_m.norm()

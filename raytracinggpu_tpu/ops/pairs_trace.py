@@ -53,7 +53,12 @@ INF = 1e9 + 9
 LANES = 128           # VPU lane width: output blocks + epilogue row chunks
 TILE_T = 128          # default triangles per cluster tile (lane dimension,
                       # a multiple of 128; see build_pairs_tables(tile_t=))
-NUM_FIELDS = 24       # rows 0-15: MT constants; 16: original tri id; 17+: pad
+NUM_FIELDS = 32       # rows 0-15: MT constants; 16: original tri id;
+                      # 17-25: vertex normals na/nb/nc (the in-kernel
+                      # winner-payload path interpolates the Phong normal
+                      # per visit — any post-kernel per-winner recovery
+                      # pays the XLA (R, small)-column wall, measured
+                      # ~9 ms/cast at 480k rays); 26-31: pad
 DEF_BLK = 4096        # rays per kernel program
 DEF_SUBG = 16         # rays per culling subgroup
 # Field tables up to ST_SLOTS columns are fully VMEM-resident per program
@@ -211,9 +216,13 @@ def _cluster_slots(bvh, n_tri: int, tile_t: int = TILE_T):
     return slot_src, nc, members
 
 
-def fields_from_corners(A, B, C, slot_src, np_mod=np):
-    """(24, Tc) field rows from BVH-ordered corners gathered per slot.
-    Works for host numpy and jnp (pose transform) alike."""
+def fields_from_corners(A, B, C, slot_src, np_mod=np, na=None, nb=None,
+                        nc=None):
+    """(NUM_FIELDS, Tc) field rows from BVH-ordered corners gathered per
+    slot.  Works for host numpy and jnp (pose transform) alike.
+    na/nb/nc: optional (T, 3) vertex normals -> rows 17-25 (zeros when
+    absent; the smooth payload then interpolates a zero normal, matching
+    the no-normals fallback of the post-hoc smooth path)."""
     idx = np_mod.maximum(slot_src, 0)
 
     def g(v):
@@ -229,12 +238,18 @@ def fields_from_corners(A, B, C, slot_src, np_mod=np):
         (Ag * ng).sum(axis=1)[None, :],
         np_mod.where(slot_src >= 0, slot_src, _IDX_BIG).astype(A.dtype)[None, :],
     ]
+    for v in (na, nb, nc):
+        if v is None:
+            rows.append(np_mod.zeros((3, Tc), A.dtype))
+        else:
+            rows.append(g(v).T)
     f = np_mod.concatenate(rows, axis=0)
     pad = np_mod.zeros((NUM_FIELDS - f.shape[0], Tc), A.dtype)
     return np_mod.concatenate([f, pad], axis=0)
 
 
-def build_pairs_tables(A, B, C, bvh, tile_t: int = TILE_T) -> PairsMeshTables:
+def build_pairs_tables(A, B, C, bvh, tile_t: int = TILE_T, vna=None,
+                       vnb=None, vnc=None) -> PairsMeshTables:
     """Host-side build from BVH-ordered triangle corners (T, 3).
 
     tile_t: triangles per packed tile (multiple of 128).  Fat tiles trade
@@ -253,7 +268,7 @@ def build_pairs_tables(A, B, C, bvh, tile_t: int = TILE_T) -> PairsMeshTables:
             f"slots > {MAX_SLOTS}): the culling bitmask would exceed the "
             "SMEM budget at one ray block per cast — use traversal='pallas'"
         )
-    f = fields_from_corners(A, B, C, slot_src)
+    f = fields_from_corners(A, B, C, slot_src, na=vna, nb=vnb, nc=vnc)
     if f.shape[1] > ST_SLOTS and f.shape[1] % ST_SLOTS:
         # streamed supertiles need whole ST_SLOTS-wide field blocks
         f = np.pad(f, ((0, 0), (0, ST_SLOTS - f.shape[1] % ST_SLOTS)))
@@ -394,10 +409,11 @@ def _mt_tile(cols, tri_ref, off, eps_leaf, tile_t=TILE_T):
     tval = tnum * rden
     bary_ok = jnp.minimum(jnp.minimum(beta, gamma), 1.0 - beta - gamma) >= 0.0
     valid = (denom != 0.0) & bary_ok & (tval > max(float(eps_leaf), 0.0))
-    return jnp.where(valid, tval, INF), row(16)
+    return jnp.where(valid, tval, INF), row(16), beta, gamma, row
 
 
 def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
+                  payload,
                   bits_ref, summ_ref, dbj_ref, rfT_ref, tri_ref, *refs):
     """Bitmask-driven pair walk for one ray block.
 
@@ -425,11 +441,16 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
     update is lexicographic on (t, original id) and the epilogue takes the
     min id among tied lanes, reproducing the reference's lowest-index
     tie-break (global_launcher.cu:268-278) for any visit order."""
-    if track_idx:
+    if payload:
+        (t_ref, idx_ref, nx_ref, ny_ref, nz_ref,
+         rf_s, t_run, idx_run, nx_run, ny_run, nz_run) = refs
+    elif track_idx:
         t_ref, idx_ref, rf_s, t_run, idx_run = refs
+        nx_ref = ny_ref = nz_ref = nx_run = ny_run = nz_run = None
     else:
         t_ref, rf_s, t_run = refs
         idx_ref = idx_run = None
+        nx_ref = ny_ref = nz_ref = nx_run = ny_run = nz_run = None
     b = pl.program_id(0)
     st = pl.program_id(1) if n_st > 1 else 0
     n_sg = blk // subg
@@ -452,7 +473,8 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
 
     def visit(rows, cols, tile):
         off = pl.multiple_of(tile * tile_t, tile_t)
-        t, oid = _mt_tile(cols, tri_ref, off, eps_leaf, tile_t)
+        t, oid, beta, gamma, row = _mt_tile(cols, tri_ref, off, eps_leaf,
+                                            tile_t)
         if track_idx:
             # lexicographic (t, original id): packed tiles are not visited
             # in ascending-id order, so equal-t ties must compare ids to
@@ -463,6 +485,18 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
             upd = (t < t_old) | ((t == t_old) & (oid < i_old))
             t_run[rows, :] = jnp.where(upd, t, t_old)
             idx_run[rows, :] = jnp.where(upd, oid, i_old)
+            if payload == 1:   # geometric: Ng = field rows 0-2
+                nx, ny, nz = row(0), row(1), row(2)
+            elif payload == 2:  # smooth: Phong interpolation per visit
+                # exact get_smooth_normal order (realtime_render.cu:221-245)
+                alpha = 1.0 - beta - gamma
+                nx = row(17) * alpha + row(20) * beta + row(23) * gamma
+                ny = row(18) * alpha + row(21) * beta + row(24) * gamma
+                nz = row(19) * alpha + row(22) * beta + row(25) * gamma
+            if payload:
+                nx_run[rows, :] = jnp.where(upd, nx, nx_run[rows, :])
+                ny_run[rows, :] = jnp.where(upd, ny, ny_run[rows, :])
+                nz_run[rows, :] = jnp.where(upd, nz, nz_run[rows, :])
         else:
             t_run[rows, :] = jnp.minimum(t_run[rows, :], t)
 
@@ -522,12 +556,23 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
             t_ref[r : r + 1, :] = t_min.reshape(1, LANES)
             if track_idx:
                 win = (t_run[sl, :] == t_min[:, None]) & (t_run[sl, :] < INF)
-                idx = jnp.min(
+                idxf = jnp.min(
                     jnp.where(win, idx_run[sl, :], float(_IDX_BIG)), axis=1
-                ).astype(jnp.int32)
+                )
+                idx = idxf.astype(jnp.int32)
                 idx_ref[r : r + 1, :] = (
                     jnp.where(idx == _IDX_BIG, 0, idx).reshape(1, LANES)
                 )
+                if payload:
+                    # the (t, id)-winner lane is unique (ids are unique per
+                    # slot), so a masked sum extracts its payload exactly;
+                    # miss rays get (0,0,0), masked downstream by obj < 0
+                    win2 = win & (idx_run[sl, :] == idxf[:, None])
+                    for n_run, n_ref in ((nx_run, nx_ref), (ny_run, ny_ref),
+                                         (nz_run, nz_ref)):
+                        n = jnp.sum(
+                            jnp.where(win2, n_run[sl, :], 0.0), axis=1)
+                        n_ref[r : r + 1, :] = n.reshape(1, LANES)
 
     if n_st == 1:
         epilogue()
@@ -553,10 +598,10 @@ def _summary_words(bits, nb: int, n_sg: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("eps_leaf", "track_idx", "subg", "blk", "nc",
-                     "interpret", "tile_t"),
+                     "interpret", "tile_t", "payload"),
 )
 def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
-                interpret, tile_t=TILE_T):
+                interpret, tile_t=TILE_T, payload=0):
     R = rfT.shape[1]
     W = bits.shape[0]
     summ = _summary_words(bits, R // blk, blk // subg)
@@ -598,7 +643,19 @@ def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
                          memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((R // LANES, LANES), jnp.int32))
+    if payload:
+        assert track_idx
+        for _ in range(3):
+            out_specs.append(
+                pl.BlockSpec((blk // LANES, LANES), out_map,
+                             memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((R // LANES, LANES), jnp.float32))
+    if track_idx:
         scratch.append(pltpu.VMEM((blk, tile_t), jnp.float32))
+    if payload:
+        for _ in range(3):
+            scratch.append(pltpu.VMEM((blk, tile_t), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # bitmask words + summary words + de Bruijn
         grid=grid,
@@ -612,13 +669,15 @@ def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
     )
     kernel = functools.partial(
         _pairs_kernel, eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st,
-        wps)
+        wps, payload)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",) * len(grid))
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret, compiler_params=compiler_params,
     )(bits, summ, jnp.asarray(_DEBRUIJN_TABLE), rfT, fields)
+    if payload:
+        return tuple(o.reshape(-1) for o in out)
     if track_idx:
         return out[0].reshape(-1), out[1].reshape(-1)
     return out[0].reshape(-1)
@@ -671,12 +730,27 @@ def intersect_tris_pairs(
     interpret: bool = False,
     subg: int = DEF_SUBG,
     blk: int = DEF_BLK,
-) -> TriHit:
+    payload: str | None = None,
+):
     """Closest hit over the cluster-tiled mesh.  Returns TriHit with the
     ORIGINAL (BVH-order) triangle index — drop-in compatible with the
-    pallas mode's winner recovery (normals, barycentrics)."""
+    pallas mode's winner recovery (normals, barycentrics).
+
+    payload: None | 'geom' | 'smooth' — when set, the kernel ALSO tracks
+    the winner's normal per visit (geometric Ng, or the Phong-interpolated
+    vertex normal from field rows 17-25) and the return becomes
+    (TriHit, N Vec3, unnormalized).  This exists because any post-kernel
+    per-winner recovery consumes (R, k<128)-column slices that XLA
+    executes at the row-rate wall (~9 ms/cast measured for the smooth
+    path at 480k rays); in-kernel the data is already in VMEM in visit
+    layout and the tracking is a few elementwise ops."""
     O, u, cap, _, R, pad = _prep(O, u, cap, blk)
     nc = tab.tile_aabb.shape[0]
+    pcode = {None: 0, "geom": 1, "smooth": 2}[payload]
+    if pcode and tab.fields.shape[1] > ST_SLOTS:
+        # 3 extra (blk, tile_t) scratches + double-buffered field blocks:
+        # halve the block to stay inside VMEM when streaming
+        blk = min(blk, 2048)
 
     def one(lo, hi):
         sl = slice(lo, hi)
@@ -688,14 +762,18 @@ def intersect_tris_pairs(
                           members=_members_of(tab))
         return _pairs_call(
             rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc,
-            interpret, tile_width(tab)
+            interpret, tile_width(tab), pcode
         )
 
-    t, idx = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)
+    out = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)
     if pad:
-        t, idx = t[:R], idx[:R]
+        out = tuple(o[:R] for o in out)
+    t, idx = out[0], out[1]
     z = jnp.zeros_like(t)
-    return TriHit(t=t, idx=idx, beta=z, gamma=z)
+    hit = TriHit(t=t, idx=idx, beta=z, gamma=z)
+    if pcode:
+        return hit, Vec3(out[2], out[3], out[4])
+    return hit
 
 
 def intersect_tris_pairs_shadow(

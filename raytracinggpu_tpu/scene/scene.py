@@ -198,7 +198,8 @@ def build_scene_tables(
 
         try:
             pairs_tables = build_pairs_tables(
-                mesh.A, mesh.B, mesh.C, mesh.bvh, tile_t=pairs_tile)
+                mesh.A, mesh.B, mesh.C, mesh.bvh, tile_t=pairs_tile,
+                vna=mesh.na, vnb=mesh.nb, vnc=mesh.nc)
         except PairsMeshTooLarge as e:
             # Mesh exceeds the pairs kernel's cluster budget; the integrator
             # falls back to the pallas tile kernel when pairs_mesh is None

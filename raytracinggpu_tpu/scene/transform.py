@@ -143,9 +143,11 @@ def _pallas_tables_jax(A: Vec3, B: Vec3, C: Vec3, valid, old):
     )
 
 
-def _pairs_tables_jax(A: Vec3, B: Vec3, C: Vec3, old):
+def _pairs_tables_jax(A: Vec3, B: Vec3, C: Vec3, old, na=None, nb=None,
+                      nc=None):
     """jnp rebuild of ops/pairs_trace.build_pairs_tables: re-gather the posed
-    corners per cluster slot, recompute fields, refit cluster AABBs tight."""
+    corners per cluster slot, recompute fields (incl. rotated vertex
+    normals for the smooth payload), refit cluster AABBs tight."""
     from raytracinggpu_tpu.ops.pairs_trace import (
         INF,
         PairsMeshTables,
@@ -157,7 +159,10 @@ def _pairs_tables_jax(A: Vec3, B: Vec3, C: Vec3, old):
     slot = old.slot_src
     stackv = lambda v: jnp.stack([v.x, v.y, v.z], axis=1)   # (Tp, 3)
     f = fields_from_corners(
-        stackv(A), stackv(B), stackv(C), slot, np_mod=jnp
+        stackv(A), stackv(B), stackv(C), slot, np_mod=jnp,
+        na=None if na is None else stackv(na),
+        nb=None if nb is None else stackv(nb),
+        nc=None if nc is None else stackv(nc),
     )
     if f.shape[1] != old.fields.shape[1]:
         # streamed big meshes pad fields to whole supertile blocks
@@ -243,7 +248,7 @@ def pose_mesh(scene, M, t=(0.0, 0.0, 0.0)):
     pallas_mesh = _pallas_tables_jax(A, B, C, src.valid, scene.pallas_mesh)
     pairs_mesh = scene.pairs_mesh
     if pairs_mesh is not None:
-        pairs_mesh = _pairs_tables_jax(A, B, C, pairs_mesh)
+        pairs_mesh = _pairs_tables_jax(A, B, C, pairs_mesh, na, nb, nc)
 
     bvh = scene.bvh
     if bvh is not None:
