@@ -90,3 +90,27 @@ def test_realtime_config_matches_oracle(cat_mesh_raw, rng):
     np.testing.assert_allclose(
         np.stack([np.asarray(c) for c in ug], -1), u, atol=2e-6
     )
+
+
+def test_smooth_normals_pallas_matches_dense(cat_mesh_raw):
+    """The pallas fallback's smooth path (_fused_smooth_recovery: one
+    (R,28) row-gather) and the pairs kernel's in-kernel smooth payload
+    must both reproduce the dense oracle's Phong-normal render."""
+    import numpy as np
+
+    from raytracinggpu_tpu.render.pipeline import render_preset_frame
+    from raytracinggpu_tpu.scene.mesh import build_mesh
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    mesh = build_mesh(cat_mesh_raw)
+    imgs = {}
+    for trav in ("dense", "pallas", "pairs"):
+        cfg, tables = build_preset(
+            "realtime", mesh=mesh, width=32, height=32, spp=1, max_depth=2,
+            traversal=trav)
+        assert cfg.smooth_normals
+        imgs[trav], _ = render_preset_frame(tables, cfg, seed=3)
+    np.testing.assert_allclose(imgs["pallas"], imgs["dense"],
+                               rtol=1e-4, atol=2e-2)
+    np.testing.assert_allclose(imgs["pairs"], imgs["dense"],
+                               rtol=1e-4, atol=2e-2)
