@@ -22,6 +22,8 @@ def run_sweep(
     repeats: int = 5,
     traversal: str = "dense",
     out: str | None = None,
+    on_cell=None,
+    skip=None,
 ) -> dict:
     import jax
 
@@ -38,6 +40,8 @@ def run_sweep(
     results = {}
     for b in bounces:
         for s in spps:
+            if skip is not None and skip(int(s), int(b)):
+                continue
             cfg, tables = build_preset(
                 preset, width=width, height=height, spp=int(s),
                 max_depth=int(b), traversal=traversal,
@@ -65,11 +69,16 @@ def run_sweep(
             }
             print(f"spp={s:4d} bounces={b:2d}: {dt:.3f}s steady "
                   f"({mrays:8.1f} Mray/s, first {first:.1f}s)")
+            if on_cell is not None:
+                on_cell(int(s), int(b), results[(s, b)])
 
     # benchmark.py-style matrix (rows=spp, cols=bounces).
     print("\truntime matrix (s): rows=spp, cols=bounces")
     for s in spps:
-        row = " ".join(f"{results[(s, b)]['steady_s']:.3f}" for b in bounces)
+        row = " ".join(
+            f"{results[(s, b)]['steady_s']:.3f}" if (s, b) in results else "-"
+            for b in bounces
+        )
         print(f"{s:4d}: {row}")
 
     if out:
