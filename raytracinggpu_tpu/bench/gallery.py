@@ -65,6 +65,25 @@ def frame_rows(quick=False):
             "mrays_formula": round(rays_per_frame(cfg) / dt / 1e6, 1),
         }
         print(preset, rows[preset], flush=True)
+
+    # The north-star resolution at the flagship config (balanced-chunking
+    # row: 480k rays split into equal pairs_block-granular chunks).
+    cfg, tables = build_preset("array_bvh", width=800, height=600)
+    if quick:
+        cfg = replace(cfg, spp=4)
+    cam = Camera.fixed(cfg.camera_c)
+
+    def run800(i):
+        img, _ = render_frame(tables, cfg, cam, jax.random.PRNGKey(i))
+        return img
+
+    dt = _steady(run800)
+    rows["array_bvh_800x600"] = {
+        "spp": cfg.spp, "depth": cfg.max_depth,
+        "steady_s": round(dt, 3),
+        "mrays_formula": round(rays_per_frame(cfg) / dt / 1e6, 1),
+    }
+    print("array_bvh_800x600", rows["array_bvh_800x600"], flush=True)
     return rows
 
 
@@ -82,7 +101,10 @@ def realtime_rows(quick=False):
         ("progressive_512x512_spp4", 512, 512, 4, 3),
         ("progressive_800x600_spp2", 800, 600, 2, 3),
         ("progressive_800x600_spp1_d2", 800, 600, 1, 2),
+        ("progressive_800x600_spp2_d2", 800, 600, 2, 2),
+        ("progressive_800x600_spp1_d3", 800, 600, 1, 3),
         ("progressive_800x600_spp1_d1", 800, 600, 1, 1),
+        ("realtime_batched_512_spp2_d2", 512, 512, 2, 2),
     ]
     for name, w, h, spp, depth in cases:
         cfg, tables = build_preset(
