@@ -57,6 +57,35 @@ SUBG = 64      # rays per culling subgroup: the active-tile union grows with
                # int8 [count|ids] lists still fit the 1MB SMEM prefetch
                # budget at 2^18-ray batches (rows pad to 128 bytes)
 NUM_FIELDS = 16
+SMEM_BUDGET_BYTES = 524288  # known-good scalar-prefetch budget (same 512 KB
+                            # the pairs kernel uses; hardware SMEM is ~1 MB
+                            # and over-budget operands are a COMPILE error)
+
+
+def smem_ray_cap_pallas(n_tiles: int, subg: int = SUBG) -> int:
+    """Largest per-call ray count whose merged [count|ids] tile lists fit
+    the scalar-prefetch SMEM budget.
+
+    The lists are (R/subg, 1 + n_tiles) rows, minor dim padded to 128
+    elements, int8 up to 126 tiles else int16 — and Mosaic keeps the WHOLE
+    operand SMEM-resident (scalar prefetch is not blocked over the grid).
+    Big ``--obj`` meshes must therefore shrink the per-call ray count:
+    a 200k-triangle soup (1563 tiles) reaches 6.5 MB at 2^17 rays, a
+    compile-time OOM.  The public entry points self-chunk with this cap so
+    direct callers and the render pipeline both degrade gracefully."""
+    itemsize = 1 if n_tiles <= 126 else 2
+    row_bytes = -(-(1 + n_tiles) // 128) * 128 * itemsize
+    return max(BLK_R, SMEM_BUDGET_BYTES * subg // row_bytes // BLK_R * BLK_R)
+
+
+def _chunked_rays(R: int, cap_rays: int, fn):
+    """Run fn(lo, hi) over ray slices of at most cap_rays, concat results
+    (mirrors pairs_trace._chunked; duplicated to keep the import DAG
+    pallas_trace <- pairs_trace one-way)."""
+    if R <= cap_rays:
+        return fn(0, R)
+    outs = [fn(lo, min(lo + cap_rays, R)) for lo in range(0, R, cap_rays)]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
 
 
 class PallasMeshTables(NamedTuple):
@@ -366,6 +395,13 @@ def intersect_tris_shadow(
     (per-ray max useful distance, |L - P_adj|) culls tiles entirely beyond
     the light."""
     R = O.x.shape[0]
+    cap_rays = smem_ray_cap_pallas(tab.fields.shape[1] // TILE_T, subg)
+    if R > cap_rays:
+        return _chunked_rays(R, cap_rays, lambda lo, hi: intersect_tris_shadow(
+            Vec3(O.x[lo:hi], O.y[lo:hi], O.z[lo:hi]),
+            Vec3(u.x[lo:hi], u.y[lo:hi], u.z[lo:hi]),
+            tab, eps_leaf, cap=None if cap is None else cap[lo:hi],
+            interpret=interpret, sort_rays=sort_rays, subg=subg))
     pad = (-R) % BLK_R
     if pad:
         O = Vec3(*(jnp.pad(c, (0, pad)) for c in O))
@@ -503,6 +539,13 @@ def intersect_tris_pallas(
     below the cap are unchanged, farther mesh hits would lose the merge
     anyway."""
     R = O.x.shape[0]
+    cap_rays = smem_ray_cap_pallas(tab.fields.shape[1] // TILE_T, subg)
+    if R > cap_rays:
+        return _chunked_rays(R, cap_rays, lambda lo, hi: intersect_tris_pallas(
+            Vec3(O.x[lo:hi], O.y[lo:hi], O.z[lo:hi]),
+            Vec3(u.x[lo:hi], u.y[lo:hi], u.z[lo:hi]),
+            tab, eps_leaf, interpret=interpret, sort_rays=sort_rays,
+            cap=None if cap is None else cap[lo:hi], subg=subg))
     pad = (-R) % BLK_R
     if pad:
         O = Vec3(*(jnp.pad(c, (0, pad)) for c in O))

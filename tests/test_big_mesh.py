@@ -233,3 +233,38 @@ def test_direct_api_chunks_by_smem_budget(rng, monkeypatch, cat_mesh_raw):
     np.testing.assert_array_equal(np.asarray(chunked.t), np.asarray(ref.t))
     np.testing.assert_array_equal(np.asarray(chunked.idx),
                                   np.asarray(ref.idx))
+
+
+def test_pallas_entries_chunk_by_smem_budget(rng, monkeypatch):
+    """The pallas fallback's merged [count|ids] tile lists live WHOLE in
+    SMEM (scalar prefetch is not grid-blocked): a 200k-tri soup at 2^17
+    rays requested a 6.5 MB operand — a compile-time OOM on hardware.
+    Both public entries now self-chunk by smem_ray_cap_pallas; forcing a
+    tiny budget must split the batch with identical results."""
+    from raytracinggpu_tpu.ops import pallas_trace as plt_
+
+    A, B, C = _big_mesh(rng, 17000)            # ~133 tiles -> int16 lists
+    tab = plt_.build_pallas_tables(A, B, C)
+    n_tiles = tab.fields.shape[1] // plt_.TILE_T
+
+    m = 2048
+    o = rng.uniform(-25, 25, (m, 3)).astype(np.float32)
+    d = rng.standard_normal((m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    cap = jnp.asarray(rng.uniform(5, 50, m).astype(np.float32))
+
+    assert plt_.smem_ray_cap_pallas(n_tiles) >= m      # unchunked reference
+    ref_c = plt_.intersect_tris_pallas(O, u, tab, 1e-4, interpret=True)
+    ref_s = plt_.intersect_tris_shadow(O, u, tab, 1e-4, cap=cap,
+                                       interpret=True)
+
+    monkeypatch.setattr(plt_, "SMEM_BUDGET_BYTES", 4096)
+    assert plt_.smem_ray_cap_pallas(n_tiles) < m       # forces >= 2 chunks
+    ch_c = plt_.intersect_tris_pallas(O, u, tab, 1e-4, interpret=True)
+    ch_s = plt_.intersect_tris_shadow(O, u, tab, 1e-4, cap=cap,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(ch_c.t), np.asarray(ref_c.t))
+    np.testing.assert_array_equal(np.asarray(ch_c.idx), np.asarray(ref_c.idx))
+    np.testing.assert_array_equal(np.asarray(ch_s), np.asarray(ref_s))
