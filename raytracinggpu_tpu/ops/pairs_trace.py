@@ -61,6 +61,7 @@ NUM_FIELDS = 32       # rows 0-15: MT constants; 16: original tri id;
                       # ~9 ms/cast at 480k rays); 26-31: pad
 DEF_BLK = 4096        # rays per kernel program
 DEF_SUBG = 16         # rays per culling subgroup
+DEF_VPI = 1           # tiles visited per scalar-walk iteration (see visit())
 # Field tables up to ST_SLOTS columns are fully VMEM-resident per program
 # (96 B/triangle slot; 32768 slots = 3.1 MB).  Bigger meshes STREAM the
 # table in ST_SLOTS-wide supertile blocks over a minor grid axis
@@ -413,7 +414,7 @@ def _mt_tile(cols, tri_ref, off, eps_leaf, tile_t=TILE_T):
 
 
 def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
-                  payload,
+                  payload, vpi,
                   bits_ref, summ_ref, dbj_ref, rfT_ref, tri_ref, *refs):
     """Bitmask-driven pair walk for one ray block.
 
@@ -471,33 +472,57 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
     else:
         pl.when(st == 0)(init)
 
-    def visit(rows, cols, tile):
+    def _mt_payload(cols, tile):
+        """One tile's MT result as a foldable (t, oid, n) triple."""
         off = pl.multiple_of(tile * tile_t, tile_t)
         t, oid, beta, gamma, row = _mt_tile(cols, tri_ref, off, eps_leaf,
                                             tile_t)
+        n = None
+        if payload == 1:   # geometric: Ng = field rows 0-2
+            n = (row(0), row(1), row(2))
+        elif payload == 2:  # smooth: Phong interpolation per visit
+            # exact get_smooth_normal order (realtime_render.cu:221-245)
+            alpha = 1.0 - beta - gamma
+            n = tuple(
+                row(17 + a) * alpha + row(20 + a) * beta
+                + row(23 + a) * gamma
+                for a in range(3)
+            )
+        return t, oid, n
+
+    def visit(rows, cols, tiles):
+        """Evaluate all `tiles` (vpi of them; duplicates allowed — the
+        lexicographic fold is idempotent) and apply ONE running-min RMW.
+        Multi-tile visits amortize the per-iteration serial costs (scalar
+        walk, RMW issue) that dominate post-hoist: doubling the MT math in
+        a visit was measured at +3.7% while the serial floor is ~60% of
+        the per-pair cost."""
         if track_idx:
+            t, oid, n = _mt_payload(cols, tiles[0])
             # lexicographic (t, original id): packed tiles are not visited
             # in ascending-id order, so equal-t ties must compare ids to
             # keep the reference's lowest-index winner
             # (global_launcher.cu:268-278)
+            for tile in tiles[1:]:
+                t2, oid2, n2 = _mt_payload(cols, tile)
+                take2 = (t2 < t) | ((t2 == t) & (oid2 < oid))
+                t = jnp.where(take2, t2, t)
+                oid = jnp.where(take2, oid2, oid)
+                if payload:
+                    n = tuple(jnp.where(take2, b, a) for a, b in zip(n, n2))
             t_old = t_run[rows, :]
             i_old = idx_run[rows, :]
             upd = (t < t_old) | ((t == t_old) & (oid < i_old))
             t_run[rows, :] = jnp.where(upd, t, t_old)
             idx_run[rows, :] = jnp.where(upd, oid, i_old)
-            if payload == 1:   # geometric: Ng = field rows 0-2
-                nx, ny, nz = row(0), row(1), row(2)
-            elif payload == 2:  # smooth: Phong interpolation per visit
-                # exact get_smooth_normal order (realtime_render.cu:221-245)
-                alpha = 1.0 - beta - gamma
-                nx = row(17) * alpha + row(20) * beta + row(23) * gamma
-                ny = row(18) * alpha + row(21) * beta + row(24) * gamma
-                nz = row(19) * alpha + row(22) * beta + row(25) * gamma
             if payload:
-                nx_run[rows, :] = jnp.where(upd, nx, nx_run[rows, :])
-                ny_run[rows, :] = jnp.where(upd, ny, ny_run[rows, :])
-                nz_run[rows, :] = jnp.where(upd, nz, nz_run[rows, :])
+                nx_run[rows, :] = jnp.where(upd, n[0], nx_run[rows, :])
+                ny_run[rows, :] = jnp.where(upd, n[1], ny_run[rows, :])
+                nz_run[rows, :] = jnp.where(upd, n[2], nz_run[rows, :])
         else:
+            t = _mt_payload(cols, tiles[0])[0]
+            for tile in tiles[1:]:
+                t = jnp.minimum(t, _mt_payload(cols, tile)[0])
             t_run[rows, :] = jnp.minimum(t_run[rows, :], t)
 
     n_s32 = -(-n_sg // 32)
@@ -527,15 +552,25 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
                 for k in range(9)
             ]
             word0 = bits_ref[w, b * n_sg + sg]
+            base = (w - w_lo) * 32
 
             def cond(word):
                 return word != 0
 
             def body(word):
+                # extract up to vpi set bits; when fewer remain, repeat the
+                # first tile (the visit fold is idempotent on duplicates)
                 low = word & -word
-                j = dbj_ref[((low * _DEBRUIJN_M) >> 27) & 31]
-                visit(rows, cols, (w - w_lo) * 32 + j)
-                return word & (word - 1)
+                j1 = dbj_ref[((low * _DEBRUIJN_M) >> 27) & 31]
+                rem = word & (word - 1)
+                tiles = [base + j1]
+                for _ in range(vpi - 1):
+                    low = rem & -rem
+                    jk = dbj_ref[((low * _DEBRUIJN_M) >> 27) & 31]
+                    tiles.append(base + jnp.where(rem != 0, jk, j1))
+                    rem = rem & (rem - 1)
+                visit(rows, cols, tiles)
+                return rem
 
             jax.lax.while_loop(cond, body, word0)
             return sword & (sword - 1)
@@ -598,10 +633,10 @@ def _summary_words(bits, nb: int, n_sg: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("eps_leaf", "track_idx", "subg", "blk", "nc",
-                     "interpret", "tile_t", "payload"),
+                     "interpret", "tile_t", "payload", "vpi"),
 )
 def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
-                interpret, tile_t=TILE_T, payload=0):
+                interpret, tile_t=TILE_T, payload=0, vpi=1):
     R = rfT.shape[1]
     W = bits.shape[0]
     summ = _summary_words(bits, R // blk, blk // subg)
@@ -669,7 +704,7 @@ def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
     )
     kernel = functools.partial(
         _pairs_kernel, eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st,
-        wps, payload)
+        wps, payload, vpi)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",) * len(grid))
     out = pl.pallas_call(
@@ -731,6 +766,7 @@ def intersect_tris_pairs(
     subg: int = DEF_SUBG,
     blk: int = DEF_BLK,
     payload: str | None = None,
+    vpi: int = DEF_VPI,
 ):
     """Closest hit over the cluster-tiled mesh.  Returns TriHit with the
     ORIGINAL (BVH-order) triangle index — drop-in compatible with the
@@ -762,7 +798,7 @@ def intersect_tris_pairs(
                           members=_members_of(tab))
         return _pairs_call(
             rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc,
-            interpret, tile_width(tab), pcode
+            interpret, tile_width(tab), pcode, vpi
         )
 
     out = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)
@@ -786,6 +822,7 @@ def intersect_tris_pairs_shadow(
     subg: int = DEF_SUBG,
     blk: int = DEF_BLK,
     active=None,
+    vpi: int = DEF_VPI,
 ):
     """Nearest mesh hit distance only (occlusion query; the reference's
     shadow test needs any hit with t^2 <= |L-P|^2,
@@ -808,7 +845,7 @@ def intersect_tris_pairs_shadow(
                           members=_members_of(tab))
         return _pairs_call(
             rfT, tab.fields, bits, float(eps_leaf), False, subg, blk, nc,
-            interpret, tile_width(tab)
+            interpret, tile_width(tab), 0, vpi
         )
 
     t = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)
