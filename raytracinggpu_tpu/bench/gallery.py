@@ -156,6 +156,10 @@ ABLATION_MODES = {
                            "columns); same reduced size as bvh_skiplinks"},
     "spp_fuse1": {"spp_fuse": 1},
     "spp_fuse8": {"spp_fuse": 8},
+    # walk-order axis (r3): word-major is the r2 form (one feature hoist
+    # per (subgroup, word)); subgroup-major (default) hoists once per
+    # subgroup and scans a W-fold shorter summary
+    "pairs_wordmajor": {"pairs_sgw": 0},
     # tile-width axis (r3): fatter tiles cut scalar-walk visits but pay
     # more VPU math and vreg pressure under the hoisted broadcasts
     "pairs_tile256": {"pairs_tile": 256},

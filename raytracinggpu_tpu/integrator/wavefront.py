@@ -144,7 +144,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             mh, N_pairs = intersect_tris_pairs(
                 O, u, scene.pairs_mesh, cfg.eps_leaf, cap=t_s,
                 interpret=interpret, subg=cfg.pairs_subgroup,
-                blk=cfg.pairs_block,
+                blk=cfg.pairs_block, sgw=cfg.pairs_sgw,
                 payload="smooth" if cfg.smooth_normals else "geom",
             )
         elif traversal == "bvh":
@@ -228,7 +228,7 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3,
         t_mesh = intersect_tris_pairs_shadow(
             O, u, scene.pairs_mesh, cfg.eps_leaf,
             cap=cap, interpret=interpret, subg=cfg.pairs_subgroup,
-            blk=cfg.pairs_block, active=active,
+            blk=cfg.pairs_block, active=active, sgw=cfg.pairs_sgw,
         )
         return jnp.minimum(t_sph, t_mesh)
     sh = intersect_all(scene, cfg, O, u)

@@ -65,6 +65,13 @@ DEF_VPI = 2           # tiles visited per scalar-walk iteration (see visit());
                       # 2 folds two tiles into one RMW — measured 2-4%
                       # faster on every real-wavefront cast type (d1/d3,
                       # closest/shadow); 3 is flat-to-worse (vreg pressure)
+DEF_SGW = 1           # walk order: 1 = subgroup-major (the 9 feature
+                      # broadcasts hoist once per subgroup, static word
+                      # sweep; summary scan is W-fold shorter) — measured
+                      # +5.7% on the real 512² spp32 d5 wavefront mix and
+                      # +43% on the primary-ray cast (subgroups correlated
+                      # across words); 0 = word-major (the r2 form, one
+                      # hoist per (subgroup, word)) — see _pairs_kernel
 # Field tables up to ST_SLOTS columns are fully VMEM-resident per program
 # (96 B/triangle slot; 32768 slots = 3.1 MB).  Bigger meshes STREAM the
 # table in ST_SLOTS-wide supertile blocks over a minor grid axis
@@ -417,7 +424,7 @@ def _mt_tile(cols, tri_ref, off, eps_leaf, tile_t=TILE_T):
 
 
 def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
-                  payload, vpi,
+                  payload, vpi, sgw,
                   bits_ref, summ_ref, dbj_ref, rfT_ref, tri_ref, *refs):
     """Bitmask-driven pair walk for one ray block.
 
@@ -532,60 +539,100 @@ def _pairs_kernel(eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st, wps,
     # Word range of this supertile (whole table when not streaming); the
     # visit's field offset is supertile-LOCAL.
     w_lo = st * wps if n_st > 1 else 0
+    wps_k = W if n_st == 1 else wps  # words per supertile, static
 
-    def sw_body(i, c):
-        w = w_lo + i // n_s32
-        s32 = i - (i // n_s32) * n_s32
-        sword0 = summ_ref[w, b * n_s32 + s32]
+    def hoist_cols(sg):
+        """Materialize the 9 ray-feature columns as (subg, tile_t)
+        broadcasts ONCE per subgroup — the per-visit lane-select
+        extraction was the dominant kernel cost (see _mt_tile docstring;
+        -34% measured)."""
+        rows = pl.ds(sg * subg, subg)
+        return rows, [
+            jnp.broadcast_to(rf_s[rows, k : k + 1], (subg, tile_t))
+            for k in range(9)
+        ]
 
-        def s_cond(sword):
-            return sword != 0
+    def walk_word(word0, base, rows, cols):
+        def cond(word):
+            return word != 0
 
-        def s_body(sword):
-            lows = sword & -sword
-            g = dbj_ref[((lows * _DEBRUIJN_M) >> 27) & 31]
-            sg = s32 * 32 + g
-            rows = pl.ds(sg * subg, subg)
-            # Hoisted per-subgroup: materialize the 9 ray-feature columns
-            # as (subg, tile_t) broadcasts ONCE per (subgroup, word) — the
-            # per-visit lane-select extraction was the dominant kernel
-            # cost (see _mt_tile docstring; -34% measured).
-            cols = [
-                jnp.broadcast_to(rf_s[rows, k : k + 1], (subg, tile_t))
-                for k in range(9)
-            ]
-            word0 = bits_ref[w, b * n_sg + sg]
-            base = (w - w_lo) * 32
+        def body(word):
+            # extract up to vpi set bits; when fewer remain, repeat the
+            # first tile (the visit fold is idempotent on duplicates)
+            low = word & -word
+            j1 = dbj_ref[((low * _DEBRUIJN_M) >> 27) & 31]
+            rem = word & (word - 1)
+            tiles = [base + j1]
+            for _ in range(vpi - 1):
+                low = rem & -rem
+                jk = dbj_ref[((low * _DEBRUIJN_M) >> 27) & 31]
+                tiles.append(base + jnp.where(rem != 0, jk, j1))
+                rem = rem & (rem - 1)
+            visit(rows, cols, tiles)
+            return rem
 
-            def cond(word):
-                return word != 0
+        jax.lax.while_loop(cond, body, word0)
 
-            def body(word):
-                # extract up to vpi set bits; when fewer remain, repeat the
-                # first tile (the visit fold is idempotent on duplicates)
-                low = word & -word
-                j1 = dbj_ref[((low * _DEBRUIJN_M) >> 27) & 31]
-                rem = word & (word - 1)
-                tiles = [base + j1]
-                for _ in range(vpi - 1):
-                    low = rem & -rem
-                    jk = dbj_ref[((low * _DEBRUIJN_M) >> 27) & 31]
-                    tiles.append(base + jnp.where(rem != 0, jk, j1))
-                    rem = rem & (rem - 1)
-                visit(rows, cols, tiles)
-                return rem
+    def s_cond(sword):
+        return sword != 0
 
-            jax.lax.while_loop(cond, body, word0)
-            return sword & (sword - 1)
+    if sgw:
+        # SUBGROUP-MAJOR walk: the summary is OR-reduced over this
+        # supertile's words (one summary row per supertile), so the 9
+        # feature broadcasts are paid once per ACTIVE SUBGROUP, not once
+        # per (subgroup, word); the word sweep is a static unroll over the
+        # supertile's wps word slots.  The LAST supertile may cover fewer
+        # real words (fields pad to whole supertiles, bits do not):
+        # out-of-range slots read a clamped index and mask to 0, so their
+        # walk costs one scalar cond.  Word-empty sweeps likewise.
+        def sw_body(s32, c):
+            sword0 = summ_ref[st, b * n_s32 + s32]
 
-        jax.lax.while_loop(s_cond, s_body, sword0)
-        return c
+            def s_body(sword):
+                lows = sword & -sword
+                g = dbj_ref[((lows * _DEBRUIJN_M) >> 27) & 31]
+                sg = s32 * 32 + g
+                rows, cols = hoist_cols(sg)
+                for dw in range(wps_k):
+                    if n_st == 1:
+                        word0 = bits_ref[dw, b * n_sg + sg]
+                    else:
+                        wi = w_lo + dw
+                        word0 = jnp.where(
+                            wi < W,
+                            bits_ref[jnp.minimum(wi, W - 1), b * n_sg + sg],
+                            0,
+                        )
+                    walk_word(word0, dw * 32, rows, cols)
+                return sword & (sword - 1)
 
-    if n_st == 1:
-        n_words = W
+            jax.lax.while_loop(s_cond, s_body, sword0)
+            return c
+
+        jax.lax.fori_loop(0, n_s32, sw_body, 0)
     else:
-        n_words = jnp.minimum(W - w_lo, wps)
-    jax.lax.fori_loop(0, n_words * n_s32, sw_body, 0)
+        def sw_body(i, c):
+            w = w_lo + i // n_s32
+            s32 = i - (i // n_s32) * n_s32
+            sword0 = summ_ref[w, b * n_s32 + s32]
+
+            def s_body(sword):
+                lows = sword & -sword
+                g = dbj_ref[((lows * _DEBRUIJN_M) >> 27) & 31]
+                sg = s32 * 32 + g
+                rows, cols = hoist_cols(sg)
+                walk_word(bits_ref[w, b * n_sg + sg], (w - w_lo) * 32,
+                          rows, cols)
+                return sword & (sword - 1)
+
+            jax.lax.while_loop(s_cond, s_body, sword0)
+            return c
+
+        if n_st == 1:
+            n_words = W
+        else:
+            n_words = jnp.minimum(W - w_lo, wps)
+        jax.lax.fori_loop(0, n_words * n_s32, sw_body, 0)
 
     def epilogue():
         for r in range(blk // LANES):
@@ -636,13 +683,12 @@ def _summary_words(bits, nb: int, n_sg: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("eps_leaf", "track_idx", "subg", "blk", "nc",
-                     "interpret", "tile_t", "payload", "vpi"),
+                     "interpret", "tile_t", "payload", "vpi", "sgw"),
 )
 def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
-                interpret, tile_t=TILE_T, payload=0, vpi=1):
+                interpret, tile_t=TILE_T, payload=0, vpi=1, sgw=0):
     R = rfT.shape[1]
     W = bits.shape[0]
-    summ = _summary_words(bits, R // blk, blk // subg)
     # Chunk the feature rows per block: a (16, blk) slice of (16, R) is 16
     # strided segments whose DMA is latency-bound (measured ~1 ms/cast);
     # (nb, 16, blk) makes each block's features one contiguous transfer.
@@ -666,6 +712,19 @@ def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
         fields_map = lambda i, st, *_: (0, st)
         ray_map = lambda i, st, *_: (i, 0, 0)
         out_map = lambda i, st, *_: (i, 0)
+    if sgw:
+        # Subgroup-major walk: one summary row per SUPERTILE (bit set iff
+        # the subgroup has any active tile in any of that supertile's
+        # words) — see _pairs_kernel.  The last supertile may cover fewer
+        # than wps real words (fields are padded to whole supertiles,
+        # bits are not): pad the summary reduction only.
+        wpad = n_st * wps - W
+        bp = jnp.pad(bits, ((0, wpad), (0, 0))) if wpad else bits
+        anyw = jnp.any(bp.reshape(n_st, wps, bits.shape[1]) != 0,
+                       axis=1).astype(jnp.int32)
+        summ = _summary_words(anyw, R // blk, blk // subg)
+    else:
+        summ = _summary_words(bits, R // blk, blk // subg)
     out_specs = [
         pl.BlockSpec((blk // LANES, LANES), out_map,
                      memory_space=pltpu.VMEM),
@@ -707,7 +766,7 @@ def _pairs_call(rfT, fields, bits, eps_leaf, track_idx, subg, blk, nc,
     )
     kernel = functools.partial(
         _pairs_kernel, eps_leaf, track_idx, subg, blk, nc, W, tile_t, n_st,
-        wps, payload, vpi)
+        wps, payload, vpi, sgw)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",) * len(grid))
     out = pl.pallas_call(
@@ -770,6 +829,7 @@ def intersect_tris_pairs(
     blk: int = DEF_BLK,
     payload: str | None = None,
     vpi: int = DEF_VPI,
+    sgw: int = DEF_SGW,
 ):
     """Closest hit over the cluster-tiled mesh.  Returns TriHit with the
     ORIGINAL (BVH-order) triangle index — drop-in compatible with the
@@ -801,7 +861,7 @@ def intersect_tris_pairs(
                           members=_members_of(tab))
         return _pairs_call(
             rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc,
-            interpret, tile_width(tab), pcode, vpi
+            interpret, tile_width(tab), pcode, vpi, sgw
         )
 
     out = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)
@@ -826,6 +886,7 @@ def intersect_tris_pairs_shadow(
     blk: int = DEF_BLK,
     active=None,
     vpi: int = DEF_VPI,
+    sgw: int = DEF_SGW,
 ):
     """Nearest mesh hit distance only (occlusion query; the reference's
     shadow test needs any hit with t^2 <= |L-P|^2,
@@ -848,7 +909,7 @@ def intersect_tris_pairs_shadow(
                           members=_members_of(tab))
         return _pairs_call(
             rfT, tab.fields, bits, float(eps_leaf), False, subg, blk, nc,
-            interpret, tile_width(tab), 0, vpi
+            interpret, tile_width(tab), 0, vpi, sgw
         )
 
     t = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)

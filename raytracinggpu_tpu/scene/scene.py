@@ -108,6 +108,11 @@ class RenderConfig:
                                 # and the flat pair loop makes small sizes
                                 # affordable — ops/pairs_trace.py)
     pairs_block: int = 4096     # rays per pairs-kernel program
+    pairs_sgw: int = 1          # pairs-kernel walk order: 1 subgroup-major
+                                # (ray-feature broadcasts hoist once per
+                                # subgroup; measured +5.7% on the headline
+                                # wavefront mix), 0 word-major (the r2
+                                # form) — ops/pairs_trace.DEF_SGW
     pairs_tile: int = 128       # triangles per packed tile (multiple of
                                 # 128).  Fat tiles cut the number of
                                 # scalar-walk visits (the measured kernel

@@ -105,6 +105,15 @@ def test_pairs_streams_huge_mesh(rng):
     np.testing.assert_allclose(t_p[hit], t_d[hit], rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(
         np.asarray(ph.idx)[hit], np.asarray(dh.idx)[hit])
+    # walk-order invariance under STREAMING: the subgroup-major walk's
+    # static word sweep must mask word slots past the last real bitmask
+    # word (the final supertile covers fewer words than wps when nc is
+    # not a supertile multiple) — bit-identical to word-major
+    pw = intersect_tris_pairs(O, u, tab, 1e-4, interpret=True, blk=256,
+                              sgw=0)
+    np.testing.assert_array_equal(np.asarray(ph.t), np.asarray(pw.t))
+    np.testing.assert_array_equal(
+        np.asarray(ph.idx)[hit], np.asarray(pw.idx)[hit])
 
 
 def test_pairs_fallback_past_cap(rng, monkeypatch):

@@ -172,6 +172,34 @@ def test_member_bits_exact_and_tighter(cat):
     assert ((m_slot >= 0) == (slot_src >= 0)).all()
 
 
+def test_walk_order_invariance(cat):
+    """Subgroup-major (sgw=1, production) and word-major (sgw=0, the r2
+    form) walks visit exactly the same (subgroup, tile) pairs in a
+    different order; the lexicographic (t, id) fold makes the results
+    bit-identical."""
+    _, tables = cat
+    O, u = _rays("scattered", 2000, seed=21)
+    cap = jnp.asarray(
+        np.random.default_rng(22).uniform(1.0, 40.0, 2000).astype(np.float32))
+    a = intersect_tris_pairs(
+        O, u, tables.pairs_mesh, 1e-4, cap=cap, interpret=True, blk=1024,
+        sgw=1)
+    b = intersect_tris_pairs(
+        O, u, tables.pairs_mesh, 1e-4, cap=cap, interpret=True, blk=1024,
+        sgw=0)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    hit = np.asarray(a.t) < 1e9
+    np.testing.assert_array_equal(
+        np.asarray(a.idx)[hit], np.asarray(b.idx)[hit])
+    sa = intersect_tris_pairs_shadow(
+        O, u, tables.pairs_mesh, 1e-4, cap=cap, interpret=True, blk=1024,
+        sgw=1)
+    sb = intersect_tris_pairs_shadow(
+        O, u, tables.pairs_mesh, 1e-4, cap=cap, interpret=True, blk=1024,
+        sgw=0)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
 @pytest.mark.parametrize("subg,blk", [(8, 1024), (32, 2048), (64, 4096)])
 def test_subgroup_block_invariance(cat, subg, blk):
     _, tables = cat
