@@ -146,10 +146,14 @@ def cast_breakdown(cfg, tables) -> dict:
         bits = jax.block_until_ready(pt._pair_bits(
             O2, u2, tab.tile_aabb, nc, subg, blk, cap=cap2,
             members=pt._members_of(tab)))
+        # Time the kernel in its PRODUCTION configuration (geom payload,
+        # default vpi/sgw) — the same program the full cast above runs —
+        # so full-minus-kernel really is the glue.
         out["closest_d1_kernel_ms"] = round(timed_scan(
             lambda rfT, b: pt._pairs_call(
                 rfT, tab.fields, b, float(cfg.eps_leaf), True, subg, blk,
-                nc, False, pt.tile_width(tab))[0],
+                nc, False, pt.tile_width(tab), 1, pt.DEF_VPI,
+                pt.DEF_SGW)[0],
             (rfT, bits), 30) * 1e3, 3)
         out["closest_d1_bits_ms"] = round(timed_scan(
             lambda O, u: pt._pair_bits(

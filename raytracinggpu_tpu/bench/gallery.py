@@ -163,9 +163,10 @@ ABLATION_MODES = {
     # tile-width axis (r3): fatter tiles cut scalar-walk visits but pay
     # more VPU math and vreg pressure under the hoisted broadcasts
     "pairs_tile256": {"pairs_tile": 256},
-    "pairs_tile512": {"pairs_tile": 512, "pairs_block": 2048,
-                      "_note": "blk halved: (blk, 512) t/idx scratch at "
-                               "4096 rays exceeds the 16 MB VMEM budget"},
+    "pairs_tile512": {"pairs_tile": 512,
+                      "_note": "block auto-capped by the VMEM budget "
+                               "(_blk_cap: 5 payload scratches at "
+                               "tile_t=512 -> blk 1024)"},
 }
 
 

@@ -236,9 +236,10 @@ def _interactive_loop(tables, cfg, args, light_speed=1.0) -> int:
                 dt = t1 - t0
                 t0 = t1
                 write_png(out, np.asarray(pending))
-                if i % 5 == 0:
-                    print(f"frame {i}: {dt*1e3:.0f} ms ({1/dt:.2f} FPS)",
-                          flush=True)
+                # pending holds frame i-1 (1-frame pipeline latency)
+                if (i - 1) % 5 == 0:
+                    print(f"frame {i - 1}: {dt*1e3:.0f} ms "
+                          f"({1/dt:.2f} FPS)", flush=True)
             pending = display
             while select.select([sys.stdin], [], [], 0)[0]:
                 ch = sys.stdin.read(1)

@@ -73,7 +73,8 @@ DEF_SGW = 1           # walk order: 1 = subgroup-major (the 9 feature
                       # across words); 0 = word-major (the r2 form, one
                       # hoist per (subgroup, word)) — see _pairs_kernel
 # Field tables up to ST_SLOTS columns are fully VMEM-resident per program
-# (96 B/triangle slot; 32768 slots = 3.1 MB).  Bigger meshes STREAM the
+# (128 B/triangle slot at NUM_FIELDS=32; 32768 slots = 4 MB).  Bigger
+# meshes STREAM the
 # table in ST_SLOTS-wide supertile blocks over a minor grid axis
 # (double-buffered DMA; t_run persists across the sweep), so the ceiling
 # becomes HBM + the SMEM bitmask budget: ceil(nc/32) words per subgroup
@@ -95,14 +96,15 @@ def tile_width(tab: "PairsMeshTables") -> int:
 
 
 class PairsMeshTooLarge(ValueError):
-    """Mesh exceeds the pairs kernel's VMEM tile ceiling (MAX_TILES);
+    """Mesh exceeds the pairs kernel's SMEM bitmask budget (MAX_SLOTS at
+    build time; a per-block budget check in _blk_cap at call time);
     callers fall back to traversal='pallas' on exactly this error."""
 
 
 class PairsMeshTables(NamedTuple):
     """Cluster-tiled device tables.
 
-    fields: (24, Tc) f32 per-slot constants in cluster-slot order
+    fields: (NUM_FIELDS, Tc) f32 per-slot constants in cluster-slot order
         (0-2 Ng, 3-5 e2 x A, 6-8 e2, 9-11 e1 x A, 12-14 e1, 15 A.Ng,
         16 original BVH-order triangle id, 17-23 zero).
     tile_aabb: (nc, 8) f32 [mn.xyz, mx.xyz, pad, pad] — union boxes of the
@@ -280,9 +282,22 @@ def build_pairs_tables(A, B, C, bvh, tile_t: int = TILE_T, vna=None,
             "SMEM budget at one ray block per cast — use traversal='pallas'"
         )
     f = fields_from_corners(A, B, C, slot_src, na=vna, nb=vnb, nc=vnc)
-    if f.shape[1] > ST_SLOTS and f.shape[1] % ST_SLOTS:
-        # streamed supertiles need whole ST_SLOTS-wide field blocks
-        f = np.pad(f, ((0, 0), (0, ST_SLOTS - f.shape[1] % ST_SLOTS)))
+    if f.shape[1] > ST_SLOTS:
+        # Streamed supertiles need (a) whole ST_SLOTS-wide field blocks and
+        # (b) bitmask WORDS (32 tiles each) that align exactly with the
+        # block boundaries — wps = ST_SLOTS/tile_t/32 whole words per
+        # supertile.  A tile_t like 384 satisfies the %128 rule but makes
+        # wps fractional: the kernel's supertile-local field offsets would
+        # silently read the wrong triangles.
+        if ST_SLOTS % (tile_t * 32):
+            raise ValueError(
+                f"tile_t={tile_t} cannot stream: ST_SLOTS ({ST_SLOTS}) "
+                f"must be a whole number of 32-tile bitmask words, so "
+                f"tile_t must divide {ST_SLOTS // 32} (use 128/256/512/"
+                f"1024) for meshes past {ST_SLOTS} slots"
+            )
+        if f.shape[1] % ST_SLOTS:
+            f = np.pad(f, ((0, 0), (0, ST_SLOTS - f.shape[1] % ST_SLOTS)))
 
     aabb = np.zeros((nc, 8), np.float32)
     for j in range(nc):
@@ -404,7 +419,7 @@ def _mt_tile(cols, tri_ref, off, eps_leaf, tile_t=TILE_T):
     per-subgroup scope (s_body), amortizing it over the subgroup's visits
     (mean ~3.1-3.4 on real wavefronts -> kernel -34%)."""
     ux, uy, uz, wx, wy, wz, Ox, Oy, Oz = cols
-    tile = tri_ref[:, pl.ds(off, tile_t)]        # (24, tile_t)
+    tile = tri_ref[:, pl.ds(off, tile_t)]        # (NUM_FIELDS, tile_t)
     row = lambda k: tile[k : k + 1, :]
     denom = ux * row(0) + uy * row(1) + uz * row(2)
     bnum = (ux * row(3) + uy * row(4) + uz * row(5)) - (
@@ -818,6 +833,41 @@ def _chunked(R: int, cap_rays: int, fn):
     return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
 
 
+# VMEM working budget for one kernel program (v5e VMEM is 16 MiB; leave
+# headroom for outputs, the (1, 16, blk) ray block and pipeline slack).
+_VMEM_BUDGET = 14 * 2**20
+
+
+def _blk_cap(nc: int, subg: int, blk: int, tile_t: int, n_scr: int,
+             cols: int) -> int:
+    """Shrink the kernel block (by halving — preserves LANES multiples and
+    divides the original, so _prep padding stays valid) until
+
+    - the per-call culling bitmask of ONE block fits the SMEM budget:
+      W words x (blk/subg) subgroups <= SMEM_WORDS (a chunk is never
+      smaller than a block, so this is the binding constraint for huge
+      meshes at non-default pairs_block), and
+    - the (blk, tile_t) running-min scratches (n_scr of them: t / +idx /
+      +3 normal payloads) plus the VMEM-resident or double-buffered
+      streamed field block fit _VMEM_BUDGET (fat pairs_tile values with
+      the payload path would otherwise exceed VMEM at the default block).
+    """
+    W = -(-nc // 32)
+    smem_cap = SMEM_WORDS * subg // W
+    streaming = cols > ST_SLOTS
+    fb = (2 if streaming else 1) * NUM_FIELDS * min(cols, ST_SLOTS) * 4
+    vmem_cap = (_VMEM_BUDGET - fb) // (4 * (16 + n_scr * tile_t))
+    while blk > LANES and (blk > smem_cap or blk > vmem_cap):
+        blk //= 2
+    if blk > smem_cap:
+        raise PairsMeshTooLarge(
+            f"one {blk}-ray block's culling bitmask ({W} words x "
+            f"{blk // subg} subgroups) exceeds the SMEM budget "
+            f"({SMEM_WORDS} words) — use traversal='pallas'"
+        )
+    return blk
+
+
 def intersect_tris_pairs(
     O: Vec3,
     u: Vec3,
@@ -843,13 +893,11 @@ def intersect_tris_pairs(
     executes at the row-rate wall (~9 ms/cast measured for the smooth
     path at 480k rays); in-kernel the data is already in VMEM in visit
     layout and the tracking is a few elementwise ops."""
-    O, u, cap, _, R, pad = _prep(O, u, cap, blk)
     nc = tab.tile_aabb.shape[0]
     pcode = {None: 0, "geom": 1, "smooth": 2}[payload]
-    if pcode and tab.fields.shape[1] > ST_SLOTS:
-        # 3 extra (blk, tile_t) scratches + double-buffered field blocks:
-        # halve the block to stay inside VMEM when streaming
-        blk = min(blk, 2048)
+    blk = _blk_cap(nc, subg, blk, tile_width(tab), 5 if pcode else 2,
+                   tab.fields.shape[1])
+    O, u, cap, _, R, pad = _prep(O, u, cap, blk)
 
     def one(lo, hi):
         sl = slice(lo, hi)
@@ -895,8 +943,9 @@ def intersect_tris_pairs_shadow(
     active: optional (R,) bool — lanes whose occlusion result is unused
     (the integrator's direct term is exactly zero) contribute no pair
     work and return INF."""
-    O, u, cap, active, R, pad = _prep(O, u, cap, blk, active)
     nc = tab.tile_aabb.shape[0]
+    blk = _blk_cap(nc, subg, blk, tile_width(tab), 1, tab.fields.shape[1])
+    O, u, cap, active, R, pad = _prep(O, u, cap, blk, active)
 
     def one(lo, hi):
         sl = slice(lo, hi)

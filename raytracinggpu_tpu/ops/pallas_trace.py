@@ -75,7 +75,17 @@ def smem_ray_cap_pallas(n_tiles: int, subg: int = SUBG) -> int:
     direct callers and the render pipeline both degrade gracefully."""
     itemsize = 1 if n_tiles <= 126 else 2
     row_bytes = -(-(1 + n_tiles) // 128) * 128 * itemsize
-    return max(BLK_R, SMEM_BUDGET_BYTES * subg // row_bytes // BLK_R * BLK_R)
+    cap = SMEM_BUDGET_BYTES * subg // row_bytes // BLK_R * BLK_R
+    if cap < BLK_R:
+        # even ONE kernel block's lists blow the budget (~>16k tiles at
+        # subg 64, i.e. >2M triangles): a clear error beats the compile-
+        # time SMEM OOM the old max(BLK_R, ...) floor would have caused
+        raise ValueError(
+            f"mesh too large for the pallas kernel's scalar-prefetch tile "
+            f"lists ({n_tiles} tiles: one {BLK_R}-ray block needs "
+            f"{BLK_R // subg * row_bytes} B > {SMEM_BUDGET_BYTES} B SMEM) "
+            f"— use traversal='dense'")
+    return cap
 
 
 def _chunked_rays(R: int, cap_rays: int, fn):

@@ -288,23 +288,21 @@ def run_loop(
             display.block_until_ready()
         if pending is not None:
             pending[1].block_until_ready()
-            t1 = time.perf_counter()
-            times.append(t1 - t0)
-            t0 = t1
+            times.append(time.perf_counter() - t0)
             emit(*pending)
             pending = None
+            # restart AFTER emit: PNG encode / pipe writes are explicitly
+            # excluded from the measured frame time (gallery row notes)
+            t0 = time.perf_counter()
         if pipelined:
             pending = (i, display)
         else:
-            t1 = time.perf_counter()
-            times.append(t1 - t0)
-            t0 = t1
+            times.append(time.perf_counter() - t0)
             emit(i, display)
+            t0 = time.perf_counter()
     if pending is not None:
         pending[1].block_until_ready()
-        t1 = time.perf_counter()
-        times.append(t1 - t0)
-        t0 = t1
+        times.append(time.perf_counter() - t0)
         emit(*pending)
     steady = times[1:] or times
     return state, {

@@ -114,6 +114,48 @@ def test_pairs_streams_huge_mesh(rng):
     np.testing.assert_array_equal(np.asarray(ph.t), np.asarray(pw.t))
     np.testing.assert_array_equal(
         np.asarray(ph.idx)[hit], np.asarray(pw.idx)[hit])
+    # a tile width whose 32-tile bitmask words do NOT align with the
+    # ST_SLOTS field blocks (384*32 does not divide 32768) must be
+    # rejected at build — the streamed walk would silently read the
+    # wrong triangles' constants
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot stream"):
+        build_pairs_tables(Ao, Bo, Co, bvh, tile_t=384)
+
+
+def test_blk_caps_respect_budgets():
+    """_blk_cap shrinks the kernel block to the SMEM bitmask and VMEM
+    scratch budgets (VERDICT-r3 review findings: non-default pairs_block
+    or fat pairs_tile on big meshes could previously request a block
+    whose bitmask/scratches exceed hardware limits — a compile error)."""
+    from raytracinggpu_tpu.ops.pairs_trace import (
+        LANES, SMEM_WORDS, ST_SLOTS, _blk_cap)
+
+    # production default: unchanged (the measured headline configuration)
+    assert _blk_cap(43, 16, 4096, 128, 5, 43 * 128) == 4096
+    # SMEM: W=512 words at nc=16384; a 16384-tile mesh with blk=8192 has
+    # smem_cap = SMEM_WORDS*16/512 = 4096 -> halved once
+    assert SMEM_WORDS * 16 // 512 == 4096
+    assert _blk_cap(16384, 16, 8192, 128, 2, 16384 * 128) == 4096
+    # VMEM: 5 payload scratches at tile_t=512 exceed the budget at the
+    # default 4096-ray block -> shrunk (but never below LANES)
+    capped = _blk_cap(64, 16, 4096, 512, 5, 64 * 512)
+    assert LANES <= capped < 4096
+    assert capped % LANES == 0
+
+
+def test_pallas_cap_raises_past_budget():
+    """One BLK_R block's scalar-prefetch tile lists past the SMEM budget
+    must be a clear error, not a compile-time SMEM OOM (the old
+    max(BLK_R, ...) floor)."""
+    import pytest
+
+    from raytracinggpu_tpu.ops.pallas_trace import smem_ray_cap_pallas
+
+    assert smem_ray_cap_pallas(1563) >= 1024   # 200k-tri soup: still fine
+    with pytest.raises(ValueError, match="traversal='dense'"):
+        smem_ray_cap_pallas(40000)
 
 
 def test_pairs_fallback_past_cap(rng, monkeypatch):
@@ -269,7 +311,10 @@ def test_pallas_entries_chunk_by_smem_budget(rng, monkeypatch):
     ref_s = plt_.intersect_tris_shadow(O, u, tab, 1e-4, cap=cap,
                                        interpret=True)
 
-    monkeypatch.setattr(plt_, "SMEM_BUDGET_BYTES", 4096)
+    # One BLK_R block's lists are 16 rows x 512 B = 8 KB here: the forced
+    # budget must still admit one whole block (smaller budgets are now a
+    # hard error rather than a silent over-budget floor).
+    monkeypatch.setattr(plt_, "SMEM_BUDGET_BYTES", 8192)
     assert plt_.smem_ray_cap_pallas(n_tiles) < m       # forces >= 2 chunks
     ch_c = plt_.intersect_tris_pallas(O, u, tab, 1e-4, interpret=True)
     ch_s = plt_.intersect_tris_shadow(O, u, tab, 1e-4, cap=cap,
