@@ -61,14 +61,26 @@ static void parse_corner(const char* tok, size_t nv, size_t nu, size_t nn,
   }
 }
 
+// Read one whole line of any length (fgets alone silently splits lines
+// past the buffer, corrupting long polygon faces into two records).
+static bool read_line(FILE* f, std::string& out) {
+  out.clear();
+  char buf[1024];
+  while (fgets(buf, sizeof buf, f)) {
+    out += buf;
+    if (!out.empty() && out.back() == '\n') return true;
+  }
+  return !out.empty();
+}
+
 void* rt_obj_parse(const char* path, int embed_transform) {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
   auto* d = new ObjData();
-  char line[1024];
-  int corners_v[64], corners_u[64], corners_n[64];
-  while (fgets(line, sizeof line, f)) {
-    char* p = line;
+  std::string lbuf;
+  std::vector<int> corners_v, corners_u, corners_n;
+  while (read_line(f, lbuf)) {
+    char* p = &lbuf[0];
     while (*p == ' ' || *p == '\t') ++p;
     if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
       float x = 0, y = 0, z = 0;
@@ -95,14 +107,17 @@ void* rt_obj_parse(const char* path, int embed_transform) {
       size_t nv = d->vertices.size() / 3;
       size_t nu = d->uvs.size() / 3;
       size_t nn = d->normals.size() / 3;
-      int nc = 0;
+      corners_v.clear(); corners_u.clear(); corners_n.clear();
       char* tok = strtok(p + 2, " \t\r\n");
-      while (tok && nc < 64) {
-        parse_corner(tok, nv, nu, nn,
-                     &corners_v[nc], &corners_u[nc], &corners_n[nc]);
-        ++nc;
+      while (tok) {  // any corner count (no silent 64-corner truncation)
+        int cv, cu, cn;
+        parse_corner(tok, nv, nu, nn, &cv, &cu, &cn);
+        corners_v.push_back(cv);
+        corners_u.push_back(cu);
+        corners_n.push_back(cn);
         tok = strtok(nullptr, " \t\r\n");
       }
+      int nc = (int)corners_v.size();
       // Fan triangulation (v0, v_k, v_{k+1}).
       for (int k = 1; k + 1 < nc; ++k) {
         d->fv.push_back(corners_v[0]);
@@ -312,8 +327,11 @@ int rt_png_write(const char* path, int32_t w, int32_t h,
 
   FILE* f = fopen(path, "wb");
   if (!f) return -2;
-  fwrite(out.data(), 1, out.size(), f);
-  fclose(f);
+  size_t wrote = fwrite(out.data(), 1, out.size(), f);
+  int rc = fclose(f);
+  // A short write (disk full / quota) must not report success — the
+  // caller would believe a corrupt, truncated PNG was saved.
+  if (wrote != out.size() || rc != 0) return -3;
   return 0;
 }
 

@@ -146,7 +146,7 @@ class Renderer:
 
         if mesh is None:
             mesh = make_mesh()
-        cam = Camera.fixed(self.cfg.camera_c)
+        cam = Camera.default(self.cfg)
         img, stats = render_frame_sharded(
             self.scene, self.cfg, cam, jax.random.PRNGKey(seed), mesh
         )

@@ -52,7 +52,7 @@ def frame_rows(quick=False):
         cfg, tables = build_preset(preset)
         if quick:
             cfg = replace(cfg, spp=4)
-        cam = Camera.fixed(cfg.camera_c)
+        cam = Camera.default(cfg)
 
         def run(i):
             img, _ = render_frame(tables, cfg, cam, jax.random.PRNGKey(i))
@@ -71,7 +71,7 @@ def frame_rows(quick=False):
     cfg, tables = build_preset("array_bvh", width=800, height=600)
     if quick:
         cfg = replace(cfg, spp=4)
-    cam = Camera.fixed(cfg.camera_c)
+    cam = Camera.default(cfg)
 
     def run800(i):
         img, _ = render_frame(tables, cfg, cam, jax.random.PRNGKey(i))
@@ -195,7 +195,7 @@ def one_ablation_row(name: str, quick=False) -> dict:
     note = over.pop("_note", None)
     w, h, spp, depth = over.pop("_size", (512, 512, 8 if quick else 32, 5))
     cfg0, tables = _cached_preset(w, h, spp, depth)
-    cam = Camera.fixed(cfg0.camera_c)
+    cam = Camera.default(cfg0)
     cfg = replace(cfg0, **over)
 
     def run(i):

@@ -47,7 +47,7 @@ def make_rays(kind: str, R: int, seed: int = 0):
         rows = np.arange(n_rows, dtype=np.int32) + (cfg.height - n_rows) // 2
         gx = rng.normal(0, 0.2, n_rows * cfg.width).astype(np.float32)
         gy = rng.normal(0, 0.2, n_rows * cfg.width).astype(np.float32)
-        O, u = raygen(cfg, Camera.fixed(cfg.camera_c), jnp.asarray(gx),
+        O, u = raygen(cfg, Camera.default(cfg), jnp.asarray(gx),
                       jnp.asarray(gy), rows=jnp.asarray(rows))
         O = Vec3(*(np.asarray(c)[:R] for c in O))
         u = Vec3(*(np.asarray(c)[:R] for c in u))

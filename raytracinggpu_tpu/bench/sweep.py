@@ -46,7 +46,7 @@ def run_sweep(
                 preset, width=width, height=height, spp=int(s),
                 max_depth=int(b), traversal=traversal,
             )
-            cam = Camera.fixed(cfg.camera_c)
+            cam = Camera.default(cfg)
             # Wall-clock including compile on the first repeat (benchmark.py
             # measures whole-process wall-clock; we report compile separately).
             t0 = time.perf_counter()

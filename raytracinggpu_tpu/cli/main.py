@@ -109,7 +109,7 @@ def cmd_render(args) -> int:
     from raytracinggpu_tpu.utils.profiling import device_trace, ray_report
 
     cfg, tables = _build(args)
-    cam = Camera.fixed(cfg.camera_c)
+    cam = Camera.default(cfg)
     key = jax.random.PRNGKey(args.seed)
 
     def run():

@@ -72,7 +72,7 @@ def _effective_traversal(cfg: RenderConfig, scene: SceneTables) -> str:
 
 
 def _fused_smooth_recovery(scene: SceneTables, O: Vec3, u: Vec3, mh):
-    """Winner-only Phong normal via ONE (R, 28) row gather.
+    """Winner-only Phong normal via ONE (R, 25) row gather.
 
     The previous path ran TWO independent (R,) row gathers per closest
     cast (recompute_barycentrics on fieldsT + smooth_normal on cornersT)
@@ -80,30 +80,24 @@ def _fused_smooth_recovery(scene: SceneTables, O: Vec3, u: Vec3, mh):
     ~9.3 ms per cast — more than the traversal kernel itself.  Every
     per-winner quantity lives in one concatenated recovery row instead:
     cols 0-15 the MT field row (barycentrics, pallas_trace layout), cols
-    16-24 the three vertex normals (cornersT).  The concat is (Tp, 28) —
+    16-24 the three vertex normals (cornersT).  The concat is (Tp, 25) —
     loop-invariant, ~0.5 MB, hoisted out of the depth scan by XLA — so
     the per-cast cost is a single row gather.
 
-    Returns (unnormalized smooth normal, beta, gamma); semantics exactly
+    Returns the unnormalized smooth normal; semantics exactly
     get_smooth_normal (realtime_render.cu:221-245)."""
+    from raytracinggpu_tpu.ops.pallas_trace import barycentrics_from_rows
+
     rec = jnp.concatenate(
-        [scene.pallas_mesh.fieldsT, scene.mesh.cornersT[:, :12]], axis=1)
+        [scene.pallas_mesh.fieldsT, scene.mesh.cornersT[:, :9]], axis=1)
     rows = rec[mh.idx]
     g = lambda k: rows[:, k]
-    w = O.cross(u)
-    denom = u.x * g(0) + u.y * g(1) + u.z * g(2)
-    bnum = (u.x * g(3) + u.y * g(4) + u.z * g(5)) - (
-        w.x * g(6) + w.y * g(7) + w.z * g(8))
-    gnum = (w.x * g(12) + w.y * g(13) + w.z * g(14)) - (
-        u.x * g(9) + u.y * g(10) + u.z * g(11))
-    rden = 1.0 / denom
-    beta = bnum * rden
-    gamma = gnum * rden
+    beta, gamma = barycentrics_from_rows(O, u, g)
     alpha = 1.0 - beta - gamma
     na = Vec3(g(16), g(17), g(18))
     nb = Vec3(g(19), g(20), g(21))
     nc = Vec3(g(22), g(23), g(24))
-    return na * alpha + nb * beta + nc * gamma, beta, gamma
+    return na * alpha + nb * beta + nc * gamma
 
 
 def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hit:
@@ -166,8 +160,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
             if traversal == "pallas":
                 # winner idx is the BVH-order id, so the fused single-gather
                 # recovery applies
-                N_m, beta, gamma = _fused_smooth_recovery(scene, O, u, mh)
-                mh = mh._replace(beta=beta, gamma=gamma)
+                N_m = _fused_smooth_recovery(scene, O, u, mh)
             else:
                 N_m = smooth_normal(scene.mesh, mh)
         else:

@@ -584,13 +584,13 @@ def intersect_tris_pallas(
     return TriHit(t=t, idx=idx, beta=z, gamma=z)
 
 
-def recompute_barycentrics(O: Vec3, u: Vec3, tab: PallasMeshTables, hit: TriHit):
-    """(beta, gamma) of the winning triangle only — ONE row gather per ray
-    (used by the realtime smooth-normal path, realtime_render.cu:221-245).
-    Measured: 16 separate column gathers cost ~22 ms per cast; the single
-    (R, 16) row gather ~1.4 ms."""
-    rows = tab.fieldsT[hit.idx]          # (R, 16)
-    g = lambda k: rows[:, k]
+def barycentrics_from_rows(O: Vec3, u: Vec3, g):
+    """(beta, gamma) from a column accessor ``g(k)`` over already-gathered
+    winner rows in fieldsT column order (0-14 used: Ng, e2 x A, e2,
+    e1 x A, e1) — the factorized MT recovery of realtime_render.cu:221-245.
+    Shared by recompute_barycentrics and the integrator's fused
+    smooth-normal gather (which appends the vertex-normal columns to the
+    same single row gather)."""
     w = O.cross(u)
     denom = u.x * g(0) + u.y * g(1) + u.z * g(2)
     bnum = (u.x * g(3) + u.y * g(4) + u.z * g(5)) - (
@@ -601,3 +601,12 @@ def recompute_barycentrics(O: Vec3, u: Vec3, tab: PallasMeshTables, hit: TriHit)
     )
     rden = 1.0 / denom
     return bnum * rden, gnum * rden
+
+
+def recompute_barycentrics(O: Vec3, u: Vec3, tab: PallasMeshTables, hit: TriHit):
+    """(beta, gamma) of the winning triangle only — ONE row gather per ray
+    (used by the realtime smooth-normal path, realtime_render.cu:221-245).
+    Measured: 16 separate column gathers cost ~22 ms per cast; the single
+    (R, 16) row gather ~1.4 ms."""
+    rows = tab.fieldsT[hit.idx]          # (R, 16)
+    return barycentrics_from_rows(O, u, lambda k: rows[:, k])

@@ -54,7 +54,7 @@ def worker(coordinator: str, num_processes: int, process_id: int,
         "array_bvh", width=32, height=32, spp=4, max_depth=2,
         traversal="dense",
     )
-    cam = Camera.fixed(cfg.camera_c)
+    cam = Camera.default(cfg)
     key = jax.random.PRNGKey(0)
     img, stats = render_frame_sharded(tables, cfg, cam, key, mesh)
 

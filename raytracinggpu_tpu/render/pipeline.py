@@ -38,16 +38,32 @@ class Camera(NamedTuple):
     C: Vec3   # position (scalars)
     bx: Vec3  # right
     by: Vec3  # up
-    bz: Vec3  # forward (realtime initializes to (0,0,-1))
+    bz: Vec3  # basis z.  NOTE the reference's convention: rotate()
+    #           (realtime_render.cu:825-848) seeds bz=(0,0,-1) but
+    #           immediately re-derives bz = cross(bx, by) = (0,0,+1) at
+    #           yaw=pitch=0; the ray's forward component then comes from
+    #           bz * z with z = -W/(2 tan(fov/2)) NEGATIVE.  A camera
+    #           built with bz=(0,0,-1) renders the quirk configs BACKWARD.
 
     @staticmethod
     def fixed(c=(0.0, 0.0, 55.0)) -> "Camera":
+        """Identity basis (== from_yaw_pitch(c, 0, 0))."""
         return Camera(
             C=Vec3.const(*c),
             bx=Vec3.const(1.0, 0.0, 0.0),
             by=Vec3.const(0.0, 1.0, 0.0),
-            bz=Vec3.const(0.0, 0.0, -1.0),
+            bz=Vec3.const(0.0, 0.0, 1.0),
         )
+
+    @staticmethod
+    def default(cfg) -> "Camera":
+        """The config's reference-faithful default view: quirk (realtime)
+        configs start at the reference camera's initial yaw=0/pitch=0.3
+        (realtime_render.cu:807-811); fixed configs use the identity
+        basis (their raygen hardcodes the view direction anyway)."""
+        if getattr(cfg, "camera_point_quirk", False):
+            return Camera.from_yaw_pitch(cfg.camera_c, 0.0, 0.3)
+        return Camera.fixed(cfg.camera_c)
 
     @staticmethod
     def from_yaw_pitch(c, yaw, pitch) -> "Camera":
@@ -134,7 +150,12 @@ def raygen(cfg: RenderConfig, cam: Camera, gx, gy, rows=None) -> tuple[Vec3, Vec
         )
         d = Vec3(d.x + gx, d.y + gy, d.z)
     else:
-        d = Vec3(ux + gx, uy + gy, jnp.full_like(gx, z))
+        # Reference fixed view is d = (ux+gx, uy+gy, z) in the identity
+        # frame (global_launcher.cu:904-913); applying the basis gives the
+        # same values there (multiplies by 0/1, modulo XLA fusion low
+        # bits) and honors a caller-supplied rotated camera instead of
+        # silently ignoring it.
+        d = cam.bx * (ux + gx) + cam.by * (uy + gy) + cam.bz * z
     u = d.normalized()
     O = Vec3(
         jnp.broadcast_to(cam.C.x, (R,)),
@@ -172,7 +193,15 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
 
     traversal = _effective_traversal(cfg, scene)
     if traversal == "pallas":
-        chunk = min(R, 131072)
+        # Same balancing as the pairs branch below, at kernel-block
+        # granularity: 800x600 = 480k rays in 2^17-ray chunks would pad
+        # 8.4% of all pair math; equal near-R/n chunks pad < 1%.
+        from raytracinggpu_tpu.ops.pallas_trace import BLK_R
+
+        cap = min(R, 131072)
+        n_chunks = -(-R // cap)
+        per = -(-R // n_chunks)
+        chunk = min(cap, -(-per // BLK_R) * BLK_R)
     elif traversal == "pairs":
         # The culling bitmask costs W * (chunk/subg) SMEM words (W =
         # ceil(n_tiles/32)); for big meshes shrink the chunk to stay inside
@@ -255,7 +284,7 @@ def render_rows(
         O = Vec3(*(c.reshape(-1) for c in O))
         u = Vec3(*(c.reshape(-1) for c in u))
         # (g, D, 2, R) -> (D, 2, g*R), sample-major like the flattened rays.
-        un = jnp.concatenate([un[i] for i in range(g)], axis=-1)
+        un = jnp.moveaxis(un, 0, 2).reshape(un.shape[1], 2, -1)
         col, stats = trace_chunked(scene, cfg, O, u, un)
         col = Vec3(*(c.reshape(g, R).sum(axis=0) for c in col))
         acc = acc + col
@@ -289,7 +318,7 @@ def render_frame(scene: SceneTables, cfg: RenderConfig, cam: Camera, key):
 def render_preset_frame(scene, cfg, seed: int = 0, cam: Camera | None = None):
     """Convenience host entry: returns (numpy image HxWx3 float32, stats)."""
     if cam is None:
-        cam = Camera.fixed(cfg.camera_c)
+        cam = Camera.default(cfg)
     img, stats = render_frame(scene, cfg, cam, jax.random.PRNGKey(seed))
     return np.asarray(img), jax.tree.map(np.asarray, stats)
 

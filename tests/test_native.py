@@ -22,6 +22,33 @@ def test_obj_parse_matches_python(cat_mesh_raw):
     np.testing.assert_allclose(nat.uvs[:, :2], py.uvs[:, :2], rtol=1e-6)
 
 
+def test_obj_parse_long_polygon_face(tmp_path):
+    """A 160-corner polygon whose face line exceeds 1024 bytes: the native
+    parser must fan-triangulate ALL corners and reassemble split fgets
+    fragments (it previously truncated at 64 corners / 1023 bytes,
+    silently dropping triangles)."""
+    from raytracinggpu_tpu.scene.obj import read_obj
+
+    n = 160
+    lines = []
+    for k in range(n):
+        a = 2 * np.pi * k / n
+        lines.append(f"v {np.cos(a):.9f} {np.sin(a):.9f} 0.000000000")
+        lines.append(f"vt {k / n:.9f} {k / n:.9f}")
+        lines.append(f"vn 0.000000000 0.000000000 1.000000000")
+    lines.append(
+        "f " + " ".join(f"{i + 1}/{i + 1}/{i + 1}" for i in range(n)))
+    p = tmp_path / "poly.obj"
+    p.write_text("\n".join(lines) + "\n")
+    assert len(lines[-1]) > 1024   # exercises the line-reassembly path
+
+    py = read_obj(str(p), native=False)
+    nat = read_obj(str(p), native=True)
+    assert py.vtx.shape == (n - 2, 3)
+    np.testing.assert_array_equal(nat.vtx, py.vtx)
+    np.testing.assert_array_equal(nat.vertices, py.vertices)
+
+
 def test_obj_parse_embed_transform(cat_mesh_raw):
     from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH, read_obj
 

@@ -94,7 +94,7 @@ def test_realtime_config_matches_oracle(cat_mesh_raw, rng):
 
 def test_smooth_normals_pallas_matches_dense(cat_mesh_raw):
     """The pallas fallback's smooth path (_fused_smooth_recovery: one
-    (R,28) row-gather) and the pairs kernel's in-kernel smooth payload
+    (R,25) row-gather) and the pairs kernel's in-kernel smooth payload
     must both reproduce the dense oracle's Phong-normal render."""
     import numpy as np
 
@@ -110,7 +110,14 @@ def test_smooth_normals_pallas_matches_dense(cat_mesh_raw):
             traversal=trav)
         assert cfg.smooth_normals
         imgs[trav], _ = render_preset_frame(tables, cfg, seed=3)
-    np.testing.assert_allclose(imgs["pallas"], imgs["dense"],
-                               rtol=1e-4, atol=2e-2)
-    np.testing.assert_allclose(imgs["pairs"], imgs["dense"],
-                               rtol=1e-4, atol=2e-2)
+    # Same fraction-based tolerance as the ray-level differential above:
+    # the dense path evaluates MT on the MXU (f32 HIGHEST matmuls) and the
+    # pairs/pallas kernels elementwise on the VPU, so a grazing-edge pixel
+    # can legitimately flip its closest-hit winner and take a different
+    # material branch — bounded by count, not by magnitude.
+    for trav in ("pallas", "pairs"):
+        bad = np.abs(imgs[trav] - imgs["dense"]) > (
+            1e-4 * np.abs(imgs["dense"]) + 2e-2)
+        frac = bad.any(-1).mean()
+        assert frac < 0.01, (
+            f"{trav}: {frac:.2%} pixels disagree with the dense oracle")
