@@ -190,16 +190,19 @@ def build_bvh(
 
 
 def _compute_skip_links(bvh: FlatBVH) -> None:
-    """skip[i] = preorder index of the first node after i's subtree."""
+    """skip[i] = preorder index of the first node after i's subtree.
+    Iterative (explicit stack): deep skewed trees would exceed Python's
+    recursion limit on the native-build path."""
     n = bvh.n_nodes
 
-    def walk(node: int, escape: int) -> None:
+    stack = [(0, n)]
+    while stack:
+        node, escape = stack.pop()
         bvh.skip[node] = escape
         l, r = bvh.left[node], bvh.right[node]
         if r != -1:
-            walk(l, r)          # left child escapes to right sibling
-            walk(r, escape)     # right child escapes like the parent
-    walk(0, n)
+            stack.append((r, escape))  # right child escapes like the parent
+            stack.append((l, r))       # left child escapes to right sibling
 
 
 def check_invariants(bvh: FlatBVH, A, B, C) -> None:
@@ -259,18 +262,21 @@ def cluster_cut(bvh: FlatBVH, max_tris: int = 64) -> ClusterCut:
     reference's coalesced flat-BVH layout (optimized.cu:512-534)."""
     starts, ends, mns, mxs = [], [], [], []
 
-    def walk(node: int) -> None:
+    # Iterative preorder (explicit stack): a skewed midpoint-split tree can
+    # exceed Python's recursion limit, and the native-build path reaches
+    # here without the fallback builder's setrecursionlimit.
+    stack = [0]
+    while stack:
+        node = stack.pop()
         s, e = bvh.tri_start[node], bvh.tri_end[node]
         if e - s <= max_tris or bvh.right[node] == -1:
             starts.append(s)
             ends.append(e)
             mns.append(bvh.mn[node])
             mxs.append(bvh.mx[node])
-            return
-        walk(bvh.left[node])
-        walk(bvh.right[node])
-
-    walk(0)
+            continue
+        stack.append(bvh.right[node])  # pop order: left first (preorder)
+        stack.append(bvh.left[node])
     cap = int(max(e - s for s, e in zip(starts, ends)))
     return ClusterCut(
         starts=np.asarray(starts, np.int32),

@@ -350,7 +350,12 @@ def _shadow_kernel(eps_leaf, subg, lists_ref, rf_ref, tri_ref, t_ref, t_run):
                 bary_ok = jnp.minimum(
                     jnp.minimum(beta, gamma), 1.0 - beta - gamma
                 ) >= 0.0
-                valid = bary_ok & (tval > max(float(eps_leaf), 0.0))
+                # (denom != 0) parity with _closest_hit_kernel and the
+                # dense path: plane-parallel rays must be rejected
+                # explicitly, not by hoping inf/NaN propagation through
+                # 1/denom keeps bary_ok false under every lowering
+                valid = (denom != 0.0) & bary_ok & (
+                    tval > max(float(eps_leaf), 0.0))
                 t_run[scr, :] = jnp.minimum(
                     t_run[scr, :], jnp.where(valid, tval, INF)
                 )
@@ -391,6 +396,17 @@ def _shadow_call(rf, fields, lists, eps_leaf, interpret, subg=SUBG):
     return t.reshape(-1)
 
 
+def _check_subg(subg: int) -> None:
+    """The kernels process each 1024-ray block as TILE_T-wide row halves,
+    per_row = TILE_T // subg subgroups per half: a subgroup wider than
+    TILE_T floors per_row to 0 and every visit loop body is skipped —
+    all hits silently vanish.  Reject instead."""
+    if subg > TILE_T or TILE_T % subg or BLK_R % subg:
+        raise ValueError(
+            f"pallas_subgroup={subg} unsupported: must divide TILE_T "
+            f"({TILE_T}) and BLK_R ({BLK_R})")
+
+
 def intersect_tris_shadow(
     O: Vec3,
     u: Vec3,
@@ -405,6 +421,7 @@ def intersect_tris_shadow(
     (per-ray max useful distance, |L - P_adj|) culls tiles entirely beyond
     the light."""
     R = O.x.shape[0]
+    _check_subg(subg)
     cap_rays = smem_ray_cap_pallas(tab.fields.shape[1] // TILE_T, subg)
     if R > cap_rays:
         return _chunked_rays(R, cap_rays, lambda lo, hi: intersect_tris_shadow(
@@ -476,6 +493,13 @@ def _block_active_tiles(O: Vec3, u: Vec3, aabb, n_tiles: int, cap=None,
     enter, exit_, hit = slab_enter_exit(O, u, aabb, n_tiles)
     if cap is not None:
         hit = hit & (enter <= cap[None, :])
+    # Padding-only tiles carry an inverted "empty" box (mn=+INF, mx=-INF);
+    # slab_enter_exit's per-axis min/max normalization UN-inverts it into a
+    # hits-everything interval, so without this mask every subgroup swept a
+    # full 128-wide MT pass per junk tile (~13% of kernel work at ~7.7 real
+    # tiles/subgroup).  Invalid boxes are culled explicitly instead.
+    valid = (aabb[:, 0] <= aabb[:, 3])[:, None]
+    hit = hit & valid
     blk = hit.reshape(n_tiles, -1, subg).any(axis=2).T       # (n_subgroups, nt)
     # One merged row per subgroup: [count, id0, id1, ...].  The
     # scalar-prefetch operands live in SMEM where every row pads its last
@@ -549,6 +573,7 @@ def intersect_tris_pallas(
     below the cap are unchanged, farther mesh hits would lose the merge
     anyway."""
     R = O.x.shape[0]
+    _check_subg(subg)
     cap_rays = smem_ray_cap_pallas(tab.fields.shape[1] // TILE_T, subg)
     if R > cap_rays:
         return _chunked_rays(R, cap_rays, lambda lo, hi: intersect_tris_pallas(

@@ -71,7 +71,7 @@ def init_state(cfg: RenderConfig, scene: SceneTables, seed: int = 0) -> RenderSt
         rng_frame=jnp.int32(0),
         light_angle=jnp.float32(angle),
         mesh_angle=jnp.float32(0.0),
-        cam_c=Vec3.const(0.0, 0.0, 55.0),
+        cam_c=Vec3.const(*cfg.camera_c),
         yaw=jnp.float32(0.0),
         pitch=jnp.float32(0.3),
         key=jax.random.PRNGKey(seed),
@@ -304,6 +304,10 @@ def run_loop(
         pending[1].block_until_ready()
         times.append(time.perf_counter() - t0)
         emit(*pending)
+    if not times:  # n_frames == 0: no NaN means / IndexError
+        return state, {
+            "frames": 0, "mean_ms": 0.0, "fps": 0.0, "first_frame_ms": 0.0,
+        }
     steady = times[1:] or times
     return state, {
         "frames": n_frames,

@@ -224,12 +224,15 @@ def build_scene_tables(
         b = mesh.bvh
         leaves = b.right == -1
         max_leaf = int((b.tri_end - b.tri_start)[leaves].max())
-        if max_leaf > 96:
+        default_max_leaf = RenderConfig.__dataclass_fields__[
+            "bvh_max_leaf"].default
+        if max_leaf > default_max_leaf:
             import warnings
 
             warnings.warn(
                 f"BVH has a {max_leaf}-triangle leaf (> the default "
-                "bvh_max_leaf=96): traversal='bvh' would skip triangles — "
+                f"bvh_max_leaf={default_max_leaf}): traversal='bvh' would "
+                "skip triangles — "
                 "raise RenderConfig.bvh_max_leaf or use builder='lbvh'",
                 stacklevel=2,
             )

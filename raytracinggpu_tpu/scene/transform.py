@@ -167,7 +167,8 @@ def _pairs_tables_jax(A: Vec3, B: Vec3, C: Vec3, old, na=None, nb=None,
     if f.shape[1] != old.fields.shape[1]:
         # streamed big meshes pad fields to whole supertile blocks
         f = jnp.pad(f, ((0, 0), (0, old.fields.shape[1] - f.shape[1])))
-    nc = old.tile_aabb.shape[0]
+    n_tiles = old.tile_aabb.shape[0]  # NOT `nc` — that's the vertex-normal
+    #                                   parameter above (shadowing trap)
     live = slot >= 0
     idx = jnp.maximum(slot, 0)
 
@@ -175,13 +176,13 @@ def _pairs_tables_jax(A: Vec3, B: Vec3, C: Vec3, old, na=None, nb=None,
     for ax in range(3):
         g = lambda v: jnp.stack([v.x, v.y, v.z], axis=1)[idx, ax]
         vals = jnp.stack([g(A), g(B), g(C)])                # (3, Tc)
-        lo = jnp.where(live[None, :], vals, INF).reshape(3, nc, tile_t)
-        hi = jnp.where(live[None, :], vals, -INF).reshape(3, nc, tile_t)
+        lo = jnp.where(live[None, :], vals, INF).reshape(3, n_tiles, tile_t)
+        hi = jnp.where(live[None, :], vals, -INF).reshape(3, n_tiles, tile_t)
         mins.append(lo.min(axis=(0, 2)))
         maxs.append(hi.max(axis=(0, 2)))
     aabb = jnp.concatenate(
         [jnp.stack(mins, axis=1), jnp.stack(maxs, axis=1),
-         jnp.zeros((nc, 2), jnp.float32)], axis=1)
+         jnp.zeros((n_tiles, 2), jnp.float32)], axis=1)
 
     # Member-box refit: tight per-cluster boxes by segment reduction over
     # the member-id-per-slot map (ragged segments; -1 padding routed to a

@@ -97,3 +97,50 @@ def test_pallas_integrator_mode_matches_dense(cat_mesh_raw, rng):
     b = np.stack([np.asarray(col_p.x), np.asarray(col_p.y), np.asarray(col_p.z)], -1)
     bad = np.abs(a - b) > 1e-3 * np.abs(a) + 1.0
     assert bad.any(-1).mean() < 0.01
+
+
+def test_padding_tiles_are_culled(rng):
+    """Padding-only tiles carry inverted 'empty' boxes; slab min/max
+    normalization would otherwise un-invert them into hits-everything
+    intervals, wasting a full MT pass per junk tile per subgroup (review
+    r3 finding).  They must never appear in the active-tile lists."""
+    from raytracinggpu_tpu.core.vec import Vec3
+    from raytracinggpu_tpu.ops.pallas_trace import (
+        _block_active_tiles, build_pallas_tables)
+
+    n = 100
+    A = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    B = A + rng.standard_normal((n, 3)).astype(np.float32) * 0.3
+    C = A + rng.standard_normal((n, 3)).astype(np.float32) * 0.3
+    tab = build_pallas_tables(A, B, C, pad_to=512)   # tiles 1-3 padding-only
+    assert tab.n_tiles == 4
+
+    m = 1024
+    o = rng.uniform(-10, 10, (m, 3)).astype(np.float32)
+    d = rng.standard_normal((m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    lists = np.asarray(_block_active_tiles(O, u, tab.tile_aabb, tab.n_tiles))
+    for row in lists:
+        count = int(row[0])
+        active = set(int(t) for t in row[1 : 1 + count])
+        assert active <= {0}, f"padding tile in active list: {active}"
+
+
+def test_oversized_subgroup_rejected(cat_mesh_raw):
+    """pallas_subgroup > TILE_T would floor the kernel's per-row loop count
+    to zero and silently drop every mesh hit — must be a loud error."""
+    import pytest
+
+    from raytracinggpu_tpu.core.vec import Vec3
+    from raytracinggpu_tpu.ops.pallas_trace import (
+        build_pallas_tables, intersect_tris_pallas)
+    from raytracinggpu_tpu.scene.mesh import build_mesh
+
+    mesh = build_mesh(cat_mesh_raw)
+    tab = build_pallas_tables(mesh.A, mesh.B, mesh.C)
+    O = Vec3(*(jnp.zeros(256) for _ in range(3)))
+    u = Vec3(jnp.zeros(256), jnp.zeros(256), jnp.ones(256))
+    with pytest.raises(ValueError, match="pallas_subgroup"):
+        intersect_tris_pallas(O, u, tab, 1e-4, interpret=True, subg=256)
