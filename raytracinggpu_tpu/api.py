@@ -36,8 +36,12 @@ class Renderer:
         bvh_builder: str = "reference",
         **config_overrides,
     ):
-        from raytracinggpu_tpu.scene.presets import build_preset
+        from raytracinggpu_tpu.scene.presets import PRESET_NAMES, build_preset
 
+        if preset not in PRESET_NAMES:
+            raise ValueError(
+                f"unknown preset {preset!r}; choose from {PRESET_NAMES}"
+            )
         mesh = None
         if obj_path is not None:
             if preset == "showcase":
@@ -58,15 +62,13 @@ class Renderer:
             mesh = build_mesh(obj, builder=bvh_builder)
         elif bvh_builder != "reference" and preset != "showcase":
             # Build the preset cat with the requested accel builder.
-            from raytracinggpu_tpu.scene.mesh import build_mesh, rescale
-            from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH, read_obj
+            from raytracinggpu_tpu.scene.mesh import load_cat_mesh
+            from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH
             from raytracinggpu_tpu.scene.presets import _MESH_TRANSFORM
 
             embed, s, off = _MESH_TRANSFORM[preset]
-            obj = read_obj(CAT_OBJ_PATH, embed_transform=embed)
-            if s is not None:
-                obj.vertices = rescale(obj.vertices, s, off)
-            mesh = build_mesh(obj, builder=bvh_builder)
+            mesh = load_cat_mesh(CAT_OBJ_PATH, embed, s, off,
+                                 builder=bvh_builder)
         self.cfg, self.scene = build_preset(
             preset, mesh=mesh, **config_overrides
         )

@@ -83,20 +83,23 @@ def _build(args):
         from raytracinggpu_tpu.scene.obj import read_obj
 
         obj = read_obj(args.obj)
-        if args.obj_scale is not None:
-            obj.vertices = rescale(obj.vertices, args.obj_scale, args.obj_offset)
+        if (args.obj_scale is not None
+                or tuple(args.obj_offset) != (0.0, 0.0, 0.0)):
+            # an offset alone must not be dropped (scale defaults to 1)
+            obj.vertices = rescale(
+                obj.vertices,
+                1.0 if args.obj_scale is None else args.obj_scale,
+                args.obj_offset)
         mesh = build_mesh(obj, builder=builder)
     elif builder != "reference":
-        from raytracinggpu_tpu.scene.mesh import build_mesh, rescale
-        from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH, read_obj
+        from raytracinggpu_tpu.scene.mesh import load_cat_mesh
+        from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH
         from raytracinggpu_tpu.scene.presets import _MESH_TRANSFORM
 
         if args.preset in _MESH_TRANSFORM:
             embed, s, off = _MESH_TRANSFORM[args.preset]
-            obj = read_obj(CAT_OBJ_PATH, embed_transform=embed)
-            if s is not None:
-                obj.vertices = rescale(obj.vertices, s, off)
-            mesh = build_mesh(obj, builder=builder)
+            mesh = load_cat_mesh(CAT_OBJ_PATH, embed, s, off,
+                                 builder=builder)
     return build_preset(args.preset, mesh=mesh, **over)
 
 
@@ -145,8 +148,12 @@ def cmd_render(args) -> int:
         # SURVEY.md §5: the TPU answer to compute-sanitizer — validate the
         # frame (finite radiance; hits account for every ray in the
         # enclosed scenes) and determinism (same seed => identical frame).
+        # Re-run the SAME path (sharded stays sharded): a sharded frame is
+        # bitwise-equal to single-device by test, but comparing across two
+        # different compilations here would report a misleading
+        # "nondeterministic render" on any fusion-layout difference.
         assert np.isfinite(arr).all(), "non-finite radiance in frame"
-        img2, _ = render_frame(tables, cfg, cam, key)
+        img2, _ = run()
         assert np.array_equal(np.asarray(img2), arr), "nondeterministic render"
         print("selfcheck OK: finite + deterministic")
     write_png(out, tonemap(arr))
@@ -162,13 +169,18 @@ def cmd_realtime(args) -> int:
     from raytracinggpu_tpu.utils.checkpoint import save_state
 
     cfg, tables = _build(args)
-    if getattr(args, "animate", "light") in ("mesh", "both"):
+    animate = getattr(args, "animate", "light")
+    if animate in ("mesh", "both"):
         from dataclasses import replace
 
         cfg = replace(cfg, animate_mesh=True)
-    light_speed = args.light_speed if args.animate in ("light", "both") else 0.0
+    light_speed = args.light_speed if animate in ("light", "both") else 0.0
     raw = sys.stdout.buffer if args.raw else None
     if args.interactive:
+        for flag in ("checkpoint", "raw"):
+            if getattr(args, flag, None):
+                print(f"warning: --{flag} is ignored with --interactive",
+                      file=sys.stderr)
         return _interactive_loop(tables, cfg, args, light_speed)
     state, summary = run_loop(
         tables,
@@ -193,7 +205,8 @@ def _interactive_loop(tables, cfg, args, light_speed=1.0) -> int:
     the reference's GLUT loop (realtime_render.cu:1214-1298).  The same key
     bindings (a/d/r/f/w/s translate, h/l/k/j = arrow yaw/pitch, q = ESC)
     apply between frames; the latest display frame is continuously written
-    to --out (default live.png) for an image viewer to follow."""
+    to <--out-dir>/live.png (default ./live.png) for an image viewer to
+    follow."""
     import select
     import sys
     import termios
@@ -258,14 +271,22 @@ def _interactive_loop(tables, cfg, args, light_speed=1.0) -> int:
 def cmd_bench(args) -> int:
     from raytracinggpu_tpu.bench.sweep import run_sweep
 
+    # Positional spp/bounces (reference CLI shape: `bench 4 2`) restrict
+    # the sweep to that single cell instead of being silently ignored.
+    spp = args.spp_flag if args.spp_flag is not None else args.spp
+    bounces = (args.bounces_flag if args.bounces_flag is not None
+               else args.bounces)
     run_sweep(
         preset=args.preset,
         width=args.width,
         height=args.height,
-        spps=[int(s) for s in args.spps.split(",")],
-        bounces=[int(b) for b in args.bounce_list.split(",")],
+        spps=[int(spp)] if spp is not None
+        else [int(s) for s in args.spps.split(",")],
+        bounces=[int(bounces)] if bounces is not None
+        else [int(b) for b in args.bounce_list.split(",")],
         repeats=args.repeats,
-        traversal=args.traversal or "dense",
+        # default to the PRODUCTION kernel, matching what `render` runs
+        traversal=args.traversal or "pairs",
         out=args.out,
     )
     return 0

@@ -103,6 +103,7 @@ def load_cat_mesh(
     embed_transform: bool,
     scale: float | None,
     offset,
+    builder: str = "reference",
 ) -> MeshData:
     """Load + transform the cat mesh per launcher config (SURVEY.md §2.7):
     cpu: embed only; global/optimized: embed + rescale(0.6, (0,-4,0));
@@ -110,4 +111,4 @@ def load_cat_mesh(
     obj = read_obj(path, embed_transform=embed_transform)
     if scale is not None:
         obj.vertices = rescale(obj.vertices, scale, offset)
-    return build_mesh(obj)
+    return build_mesh(obj, builder=builder)

@@ -73,11 +73,11 @@ def read_obj(
         parsed = native_mod.parse_obj(str(path), embed_transform)
         if parsed is not None:
             vertices, normals, uvs, fv, fn, fu = parsed
-            return ObjMesh(
+            return _validated(ObjMesh(
                 vertices=vertices, normals=normals, uvs=uvs,
                 vtx=fv, nrm=fn, uv=fu,
                 group=np.zeros(len(fv), np.int32),
-            )
+            ), path)
         if native is True:
             raise RuntimeError("native library requested but unavailable")
     vertices: list[tuple] = []
@@ -128,7 +128,7 @@ def read_obj(
             return np.zeros((0, width), dtype)
         return np.asarray(lst, dtype)
 
-    return ObjMesh(
+    return _validated(ObjMesh(
         vertices=arr(vertices, np.float32),
         normals=arr(normals, np.float32),
         uvs=arr(uvs, np.float32),
@@ -136,7 +136,28 @@ def read_obj(
         nrm=arr(fn, np.int32),
         uv=arr(fu, np.int32),
         group=np.asarray(fg, np.int32),
-    )
+    ), path)
+
+
+def _validated(mesh: ObjMesh, path) -> ObjMesh:
+    """Index-range validation shared by both parser paths.  OBJ indices are
+    1-based; a literal ``0`` resolves to -1, which numpy fancy indexing
+    would silently WRAP to the last vertex (the reference's C++ readOBJ is
+    undefined on such input) — raise instead.  Normal/uv slots keep -1 as
+    the 'absent' sentinel, so only over-range values are rejected there
+    (a malformed ``v/0/0`` degrades to 'absent', it cannot crash)."""
+    nv = mesh.vertices.shape[0]
+    if mesh.vtx.size and (
+            (mesh.vtx < 0).any() or (mesh.vtx >= nv).any()):
+        raise ValueError(
+            f"invalid OBJ {path!s}: face vertex index out of range "
+            f"(OBJ indices are 1-based; 0 is illegal)")
+    for name, idx, size in (("normal", mesh.nrm, mesh.normals.shape[0]),
+                            ("uv", mesh.uv, mesh.uvs.shape[0])):
+        if idx.size and ((idx < -1).any() or (idx >= size).any()):
+            raise ValueError(
+                f"invalid OBJ {path!s}: face {name} index out of range")
+    return mesh
 
 
 # The cat mesh ships with the repo checkout for dev/tests but is EXCLUDED

@@ -151,6 +151,17 @@ def build_preset(
         embed, scale, offset = _MESH_TRANSFORM[preset]
         mesh = load_cat_mesh(obj_path, embed, scale, offset)
 
+    if cfg.smooth_normals and not np.any(mesh.na):
+        # Custom OBJ without vertex normals on a smooth-shading preset:
+        # Phong interpolation of the all-zero fallback normals would give
+        # N=(0,0,0) and NaN bounce frames — fall back to geometric normals.
+        import warnings
+
+        warnings.warn(
+            "mesh has no vertex normals; smooth_normals disabled "
+            "(geometric normals used instead)", stacklevel=2)
+        cfg = replace(cfg, smooth_normals=False)
+
     tables = build_scene_tables(
         spheres,
         mats,

@@ -42,3 +42,33 @@ def test_animate_frames_decorrelated():
     frames = list(r.animate(3, seed=5, light_speed=0.0, reset_each=True))
     assert not np.array_equal(frames[0], frames[1])
     assert not np.array_equal(frames[1], frames[2])
+
+
+def test_unknown_preset_is_value_error():
+    """Renderer('bogus', bvh_builder='lbvh') previously raised a raw
+    KeyError from the mesh-transform table before preset validation."""
+    import pytest
+
+    from raytracinggpu_tpu.api import Renderer
+
+    with pytest.raises(ValueError, match="unknown preset"):
+        Renderer("bogus", bvh_builder="lbvh")
+
+
+def test_smooth_preset_without_normals_falls_back(tmp_path):
+    """A custom OBJ without vn records on a smooth-shading preset must
+    render finite (geometric-normal fallback), not NaN from Phong
+    interpolation of the all-zero normals."""
+    import numpy as np
+    import pytest
+
+    from raytracinggpu_tpu.api import Renderer
+
+    p = tmp_path / "plain.obj"
+    p.write_text("v -3 0 10\nv 3 0 10\nv 0 4 10\nf 1 2 3\n")
+    with pytest.warns(UserWarning, match="no vertex normals"):
+        r = Renderer("realtime", obj_path=str(p), width=16, height=16,
+                     spp=1, max_depth=2)
+    assert not r.cfg.smooth_normals
+    img, _ = r.render_hdr(seed=0)
+    assert np.isfinite(np.asarray(img)).all()

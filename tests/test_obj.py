@@ -66,3 +66,37 @@ def test_build_mesh_orders_by_bvh(cat_mesh_raw):
     # Vertex normals travel with their triangles.
     N = cat_mesh_raw.normals
     np.testing.assert_array_equal(mesh.na, N[cat_mesh_raw.nrm[o, 0]])
+
+
+def test_index_zero_rejected(tmp_path):
+    """OBJ face indices are 1-based; a literal 0 resolves to -1, which
+    numpy fancy indexing would silently wrap to the LAST vertex (review
+    r3 finding) — both parser paths must reject it loudly."""
+    import pytest
+
+    from raytracinggpu_tpu.scene.obj import read_obj
+
+    p = tmp_path / "bad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 0 1 2\n")
+    with pytest.raises(ValueError, match="1-based"):
+        read_obj(str(p), native=False)
+    # the shared post-parse validation covers the native path too
+    with pytest.raises(ValueError, match="1-based"):
+        read_obj(str(p))
+
+
+def test_offset_only_rescale_applied(tmp_path):
+    """--obj-offset without --obj-scale must shift the mesh (the CLI
+    previously gated the rescale on scale alone and dropped the offset)."""
+    import numpy as np
+
+    from raytracinggpu_tpu.cli.main import main
+
+    p = tmp_path / "tri.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    out = tmp_path / "out.png"
+    rc = main(["render", "1", "1", "--preset", "array_bvh",
+               "--width", "8", "--height", "8", "--traversal", "dense",
+               "--obj", str(p), "--obj-offset", "0", "-10", "0",
+               "--out", str(out)])
+    assert rc == 0 and out.exists()
