@@ -131,7 +131,9 @@ class PairsMeshTables(NamedTuple):
     member_slot: jnp.ndarray | None = None
 
 
-def _cluster_slots(bvh, n_tri: int, tile_t: int = TILE_T):
+def _cluster_slots(bvh, n_tri: int, tile_t: int = TILE_T,
+                   cut_tris: int | None = None, ids_map=None,
+                   pack: str = "morton"):
     """Host: cluster ranges -> (slot_src (nc*tile_t,), n_clusters).
 
     The raw cluster cut (shallowest subtrees <= tile_t tris) averages ~50%
@@ -146,13 +148,35 @@ def _cluster_slots(bvh, n_tri: int, tile_t: int = TILE_T):
     Culling granularity stays at the CLUSTER level regardless of tile_t:
     member boxes are per merged cluster, so fatter tiles coarsen only the
     visit granularity (more triangles per scalar-walk iteration), not the
-    slab tests."""
+    slab tests.
+
+    cut_tris: cluster-cut granularity (<= min(tile_t, 128)); smaller cuts
+    give tighter member boxes (fewer false-positive tile activations) at
+    the cost of more member slab tests in the XLA culling.
+    ids_map: optional (T,) permutation mapping the cut tree's triangle
+    positions to positions in the A/B/C arrays — lets the cut run over an
+    AUXILIARY tree (e.g. a SAH build) while slot ids (and therefore the
+    closest-hit tie-break and the pose-transform gather) stay in the
+    canonical mesh order.  Clustering is a pure perf knob: results are
+    bit-identical for any clustering that covers all triangles.
+
+    pack: tile packing policy.
+      'morton' — greedy first-fit of whole clusters in Morton order of
+        their box centers with a box-growth bound (the r2 form).
+      'pave'   — consecutive tree-order tri ranges at 100% occupancy:
+        tiles are exact tile_t-wide chunks of the cut order, clusters
+        SPLIT at tile boundaries into separate members (boxes refit from
+        the actual triangles, so splitting only tightens them).  Merging
+        tiles can only CLEAR activation bits (the merged bit is the OR),
+        so at a fixed visit width the maximal merge — full occupancy —
+        minimizes pair count for a given triangle order; measured ~0.8x
+        pairs vs 'morton' on real wavefronts (PERF_NOTES.md r3)."""
     from raytracinggpu_tpu.accel.bvh import cluster_cut
     from raytracinggpu_tpu.accel.lbvh import morton_codes
 
     # Cut at sub-tile granularity so member boxes stay tight even for fat
     # tiles (a 512-wide tile packs ~4-8 of these 128-tri clusters).
-    cut = cluster_cut(bvh, max_tris=min(tile_t, 128))
+    cut = cluster_cut(bvh, max_tris=min(cut_tris or tile_t, tile_t, 128))
     # A degenerate midpoint partition can make a LEAF larger than max_tris
     # (accel/bvh.py: the split gives up when the swap partition degenerates),
     # and cluster_cut emits leaves verbatim — split any oversized cluster
@@ -173,52 +197,81 @@ def _cluster_slots(bvh, n_tri: int, tile_t: int = TILE_T):
         mn=np.stack(c_mn).astype(np.float32),
         mx=np.stack(c_mx).astype(np.float32),
     )
-    centers = (cut.mn + cut.mx) * 0.5
-    order = np.argsort(morton_codes(centers), kind="stable")
-    # First-fit within a sliding window of recent bins: high occupancy
-    # without merging spatially distant clusters.  Morton order has
-    # discontinuities, so a merge must also pass a box-growth test — the
-    # union AABB may not balloon past a small fraction of the mesh box
-    # (an oversized tile is hit by every ray: the junk-tile failure mode
-    # this pavement exists to remove).
-    WINDOW = 8
-    mesh_vol = float(np.prod(cut.mx.max(axis=0) - cut.mn.min(axis=0)))
-    # Box-growth bound scales with tile capacity: a fat tile legitimately
-    # covers proportionally more of the mesh.
-    MAX_TILE_VOL = 0.02 * mesh_vol * (tile_t / 128.0)
-    groups: list[list] = []  # [cluster ids, size, mn(3,), mx(3,)]
-    for ci in order:
-        size = int(cut.ends[ci] - cut.starts[ci])
-        placed = False
-        for g in groups[-WINDOW:]:
-            if g[1] + size > tile_t:
-                continue
-            mn = np.minimum(g[2], cut.mn[ci])
-            mx = np.maximum(g[3], cut.mx[ci])
-            if float(np.prod(mx - mn)) > MAX_TILE_VOL:
-                continue
-            g[0].append(ci)
-            g[1] += size
-            g[2], g[3] = mn, mx
-            placed = True
-            break
-        if not placed:
-            groups.append([[ci], size, cut.mn[ci].copy(), cut.mx[ci].copy()])
-    nc = len(groups)
+    if pack == "pave":
+        # Consecutive cut-order triangle ranges at 100% occupancy: the cut
+        # emits contiguous ascending preorder ranges, so tiles are exact
+        # tile_t-wide chunks of the tree order and only the last tile pads.
+        # Clusters straddling a tile boundary split into one member piece
+        # per side (boxes refit from the actual triangles below, so the
+        # split only tightens culling).
+        groups_p: list[list[tuple[int, int, int]]] = []  # (ci, s, e)
+        cur: list[tuple[int, int, int]] = []
+        cap = tile_t
+        for ci in range(len(cut.starts)):
+            s, e = int(cut.starts[ci]), int(cut.ends[ci])
+            while s < e:
+                take = min(e - s, cap)
+                cur.append((ci, s, s + take))
+                cap -= take
+                s += take
+                if cap == 0:
+                    groups_p.append(cur)
+                    cur, cap = [], tile_t
+        if cur:
+            groups_p.append(cur)
+    else:
+        centers = (cut.mn + cut.mx) * 0.5
+        order = np.argsort(morton_codes(centers), kind="stable")
+        # First-fit within a sliding window of recent bins: high occupancy
+        # without merging spatially distant clusters.  Morton order has
+        # discontinuities, so a merge must also pass a box-growth test — the
+        # union AABB may not balloon past a small fraction of the mesh box
+        # (an oversized tile is hit by every ray: the junk-tile failure mode
+        # this pavement exists to remove).
+        WINDOW = 8
+        mesh_vol = float(np.prod(cut.mx.max(axis=0) - cut.mn.min(axis=0)))
+        # Box-growth bound scales with tile capacity: a fat tile legitimately
+        # covers proportionally more of the mesh.
+        MAX_TILE_VOL = 0.02 * mesh_vol * (tile_t / 128.0)
+        groups: list[list] = []  # [cluster ids, size, mn(3,), mx(3,)]
+        for ci in order:
+            size = int(cut.ends[ci] - cut.starts[ci])
+            placed = False
+            for g in groups[-WINDOW:]:
+                if g[1] + size > tile_t:
+                    continue
+                mn = np.minimum(g[2], cut.mn[ci])
+                mx = np.maximum(g[3], cut.mx[ci])
+                if float(np.prod(mx - mn)) > MAX_TILE_VOL:
+                    continue
+                g[0].append(ci)
+                g[1] += size
+                g[2], g[3] = mn, mx
+                placed = True
+                break
+            if not placed:
+                groups.append(
+                    [[ci], size, cut.mn[ci].copy(), cut.mx[ci].copy()])
+        groups_p = [
+            [(ci, int(cut.starts[ci]), int(cut.ends[ci])) for ci in g[0]]
+            for g in groups
+        ]
+    nc = len(groups_p)
+    if ids_map is None:
+        ids_map = np.arange(n_tri, dtype=np.int32)
     slot_src = np.full(nc * tile_t, -1, np.int32)
     member_slot = np.full(nc * tile_t, -1, np.int32)
     member_tile: list[int] = []
     member_aabb_rows: list[np.ndarray] = []
-    for j, (cids, _size, _mn, _mx) in enumerate(groups):
+    for j, pieces in enumerate(groups_p):
         k = j * tile_t
-        for ci in cids:
-            s, e = int(cut.starts[ci]), int(cut.ends[ci])
+        for ci, s, e in pieces:
             m = len(member_tile)
             member_tile.append(j)
             row = np.zeros(8, np.float32)
             row[0:3], row[3:6] = cut.mn[ci], cut.mx[ci]
             member_aabb_rows.append(row)
-            slot_src[k : k + (e - s)] = np.arange(s, e)
+            slot_src[k : k + (e - s)] = ids_map[s:e]
             member_slot[k : k + (e - s)] = m
             k += e - s
     members = (
@@ -262,19 +315,24 @@ def fields_from_corners(A, B, C, slot_src, np_mod=np, na=None, nb=None,
 
 
 def build_pairs_tables(A, B, C, bvh, tile_t: int = TILE_T, vna=None,
-                       vnb=None, vnc=None) -> PairsMeshTables:
+                       vnb=None, vnc=None, cut_tris: int | None = None,
+                       ids_map=None, pack: str = "morton") -> PairsMeshTables:
     """Host-side build from BVH-ordered triangle corners (T, 3).
 
     tile_t: triangles per packed tile (multiple of 128).  Fat tiles trade
     nearly-free extra VPU math per visit for fewer scalar-walk iterations
     (the measured per-visit bottleneck); culling tightness is preserved by
-    per-cluster member boxes."""
+    per-cluster member boxes.
+    cut_tris / ids_map: cluster-cut granularity and auxiliary-tree slot
+    remap (see _cluster_slots) — clustering knobs only, results are
+    bit-identical under any setting."""
     assert tile_t % LANES == 0, tile_t
     A = np.asarray(A, np.float32)
     B = np.asarray(B, np.float32)
     C = np.asarray(C, np.float32)
     slot_src, nc, (m_aabb, m_tile, m_slot) = _cluster_slots(
-        bvh, A.shape[0], tile_t)
+        bvh, A.shape[0], tile_t, cut_tris=cut_tris, ids_map=ids_map,
+        pack=pack)
     if nc * tile_t > MAX_SLOTS:
         raise PairsMeshTooLarge(
             f"mesh too large for the pairs kernel ({nc} tiles x {tile_t} "

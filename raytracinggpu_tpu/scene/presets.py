@@ -171,5 +171,8 @@ def build_preset(
         mesh_albedo=(0.25, 0.25, 0.25),
         tri_block=cfg.tri_block,
         pairs_tile=cfg.pairs_tile,
+        pairs_cluster=cfg.pairs_cluster,
+        pairs_cut=cfg.pairs_cut,
+        pairs_pack=cfg.pairs_pack,
     )
     return cfg, tables

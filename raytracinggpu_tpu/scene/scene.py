@@ -120,6 +120,21 @@ class RenderConfig:
                                 # extra VPU math per visit; culling stays
                                 # cluster-granular via member boxes
                                 # (ops/pairs_trace.build_pairs_tables)
+    pairs_cluster: str = "ref"  # cluster TREE for the pairs tables: 'ref'
+                                # cuts the reference midpoint-split BVH,
+                                # 'sah' cuts an auxiliary binned-SAH build
+                                # (accel/sah.py) — tighter subtree boxes,
+                                # measured ~10% fewer pairs on real
+                                # wavefronts.  Pure perf knob: slot ids
+                                # stay in canonical mesh order, results
+                                # are bit-identical (ops/pairs_trace)
+    pairs_cut: int = 0          # cluster-cut granularity (member-box
+                                # tightness); 0 = min(pairs_tile, 128)
+    pairs_pack: str = "morton"  # tile packing: 'morton' first-fit of whole
+                                # clusters, 'pave' consecutive tree-order
+                                # chunks at 100% occupancy (merging tiles
+                                # only clears activation bits, so paving
+                                # minimizes pair count for a given order)
     pairs_chunk: int = 262144   # rays per cast in pairs mode (the culling
                                 # bitmask costs ceil(n_tiles/32) * (R/subg)
                                 # * 4 bytes of SMEM — 512 KB at defaults;
@@ -169,6 +184,9 @@ def build_scene_tables(
     mesh_albedo=(0.25, 0.25, 0.25),
     tri_block: int = 512,
     pairs_tile: int = 128,
+    pairs_cluster: str = "ref",
+    pairs_cut: int = 0,
+    pairs_pack: str = "morton",
 ) -> SceneTables:
     """Assemble device tables from host data.
 
@@ -201,10 +219,18 @@ def build_scene_tables(
 
         from raytracinggpu_tpu.ops.pairs_trace import PairsMeshTooLarge
 
+        cl_tree, ids_map = mesh.bvh, None
+        if pairs_cluster == "sah":
+            from raytracinggpu_tpu.accel.sah import build_sah_bvh
+
+            cl_tree = build_sah_bvh(mesh.A, mesh.B, mesh.C)
+            ids_map = cl_tree.order
         try:
             pairs_tables = build_pairs_tables(
-                mesh.A, mesh.B, mesh.C, mesh.bvh, tile_t=pairs_tile,
-                vna=mesh.na, vnb=mesh.nb, vnc=mesh.nc)
+                mesh.A, mesh.B, mesh.C, cl_tree, tile_t=pairs_tile,
+                vna=mesh.na, vnb=mesh.nb, vnc=mesh.nc,
+                cut_tris=pairs_cut or None, ids_map=ids_map,
+                pack=pairs_pack)
         except PairsMeshTooLarge as e:
             # Mesh exceeds the pairs kernel's cluster budget; the integrator
             # falls back to the pallas tile kernel when pairs_mesh is None
