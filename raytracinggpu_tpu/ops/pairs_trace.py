@@ -873,6 +873,63 @@ def _prep(O, u, cap, blk, active=None):
     return O, u, cap, active, R, pad
 
 
+_KEY_SHIFT = 24  # lane id in the low 24 bits; tile key above
+
+
+def _compact_src(O, u, aabb, nc, cap, active, C, valid_n):
+    """Grouped activity compaction: source lane indices for a C-ray cast.
+
+    Measured on real 512^2 wavefronts (PERF_NOTES.md r3): at depth >= 1
+    only ~4-13% of rays have ANY active mesh tile, yet they are scattered
+    so nearly every 16-ray subgroup pays the union of their visits —
+    union/per-ray divergence reaches ~14x at depth >= 2.  This is the TPU
+    form of the reference's free per-thread early exit (a CUDA thread
+    whose ray misses the BVH root does no triangle work,
+    optimized.cu:220-240): pack the active rays densely and group them by
+    their first active tile, so subgroups share actual work.
+
+    One int32 ``lax.sort`` of (key << 24) | lane does all of it:
+    - key = first active tile id for active rays (groups them), nc for
+      inactive rays (sorts them behind every active ray),
+    - the low bits keep the sort stable and ARE the gather indices,
+    - the tail beyond n_act is inactive lanes whose exact kernel result
+      is the no-hit default (t=INF, idx=0, N=0) by construction, so a
+      C-slot cast + scatter-back is EXACT whenever n_act <= C (the
+      caller falls back to the full cast otherwise via lax.cond).
+
+    Activity here is the cheap COARSE test (nc tile boxes); the compacted
+    cast re-runs the exact member culling on C rays, so the bits the
+    kernel walks are identical to the uncompacted cast's for those rays.
+
+    Requires nc < 128 and R < 2^24 (key and lane share an int32).
+    valid_n: lanes >= valid_n are _prep padding — forced inactive so they
+    never consume compact capacity.
+    """
+    enter, _exit, hit = slab_enter_exit(O, u, aabb, aabb.shape[0])
+    if cap is not None:
+        hit = hit & (enter <= cap[None, :])
+    if active is not None:
+        hit = hit & active[None, :]
+    R = O.x.shape[0]
+    lane = jnp.arange(R, dtype=jnp.int32)
+    act = jnp.any(hit, axis=0) & (lane < valid_n)
+    first = jnp.argmax(hit, axis=0).astype(jnp.int32)
+    key = jnp.where(act, first, np.int32(nc))
+    skey = (key << _KEY_SHIFT) | lane
+    src = jax.lax.sort(skey)[:C] & np.int32((1 << _KEY_SHIFT) - 1)
+    return src, jnp.sum(act.astype(jnp.int32))
+
+
+def _compact_ok(compact: float, nc: int, R: int, blk: int) -> int:
+    """Compact capacity C (rounded up to whole blocks), or 0 when
+    compaction is off / inapplicable (key+lane must share an int32; a
+    capacity >= R would only add sort+gather for nothing)."""
+    if not compact or nc >= 128 or R >= 1 << _KEY_SHIFT:
+        return 0
+    C = -(-int(R * compact) // blk) * blk
+    return C if C < R else 0
+
+
 def smem_ray_cap(nc: int, subg: int, blk: int) -> int:
     """Largest per-call ray count whose (W, R/subg) culling bitmask fits
     the known-good SMEM budget (SMEM_WORDS words), rounded to whole
@@ -938,6 +995,7 @@ def intersect_tris_pairs(
     payload: str | None = None,
     vpi: int = DEF_VPI,
     sgw: int = DEF_SGW,
+    compact: float = 0.0,
 ):
     """Closest hit over the cluster-tiled mesh.  Returns TriHit with the
     ORIGINAL (BVH-order) triangle index — drop-in compatible with the
@@ -950,27 +1008,56 @@ def intersect_tris_pairs(
     per-winner recovery consumes (R, k<128)-column slices that XLA
     executes at the row-rate wall (~9 ms/cast measured for the smooth
     path at 480k rays); in-kernel the data is already in VMEM in visit
-    layout and the tracking is a few elementwise ops."""
+    layout and the tracking is a few elementwise ops.
+
+    compact: fraction of R to cast after grouped activity compaction
+    (_compact_src); 0 disables.  Exact for every scene: when the active
+    count exceeds the capacity, a lax.cond falls back to the full cast."""
     nc = tab.tile_aabb.shape[0]
     pcode = {None: 0, "geom": 1, "smooth": 2}[payload]
     blk = _blk_cap(nc, subg, blk, tile_width(tab), 5 if pcode else 2,
                    tab.fields.shape[1])
     O, u, cap, _, R, pad = _prep(O, u, cap, blk)
 
-    def one(lo, hi):
-        sl = slice(lo, hi)
-        Oc = Vec3(O.x[sl], O.y[sl], O.z[sl])
-        uc = Vec3(u.x[sl], u.y[sl], u.z[sl])
-        rfT = _ray_feature_rows(Oc, uc)
-        bits = _pair_bits(Oc, uc, tab.tile_aabb, nc, subg, blk,
-                          cap=None if cap is None else cap[sl],
-                          members=_members_of(tab))
-        return _pairs_call(
-            rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc,
-            interpret, tile_width(tab), pcode, vpi, sgw
-        )
+    def cast(Ov, uv, capv):
+        def one(lo, hi):
+            sl = slice(lo, hi)
+            Oc = Vec3(Ov.x[sl], Ov.y[sl], Ov.z[sl])
+            uc = Vec3(uv.x[sl], uv.y[sl], uv.z[sl])
+            rfT = _ray_feature_rows(Oc, uc)
+            bits = _pair_bits(Oc, uc, tab.tile_aabb, nc, subg, blk,
+                              cap=None if capv is None else capv[sl],
+                              members=_members_of(tab))
+            return _pairs_call(
+                rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc,
+                interpret, tile_width(tab), pcode, vpi, sgw
+            )
 
-    out = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)
+        return _chunked(Ov.x.shape[0], smem_ray_cap(nc, subg, blk), one)
+
+    Rp = O.x.shape[0]
+    C = _compact_ok(compact, nc, Rp, blk)
+    if C:
+        src, n_act = _compact_src(O, u, tab.tile_aabb, nc, cap, None, C, R)
+        n_out = 5 if pcode else 2
+
+        def path_compact(_):
+            g = lambda a: jnp.take(a, src, axis=0)
+            out_s = cast(Vec3(g(O.x), g(O.y), g(O.z)),
+                         Vec3(g(u.x), g(u.y), g(u.z)),
+                         None if cap is None else g(cap))
+            # no-hit defaults (the exact kernel output for rays with no
+            # active tiles): t=INF, idx=0, N=(0,0,0)
+            defaults = [jnp.full((Rp,), INF, jnp.float32),
+                        jnp.zeros((Rp,), jnp.int32)] + [
+                jnp.zeros((Rp,), jnp.float32)] * (n_out - 2)
+            return tuple(defaults[i].at[src].set(out_s[i])
+                         for i in range(n_out))
+
+        out = jax.lax.cond(n_act <= C, path_compact,
+                           lambda _: tuple(cast(O, u, cap))[:n_out], None)
+    else:
+        out = cast(O, u, cap)
     if pad:
         out = tuple(o[:R] for o in out)
     t, idx = out[0], out[1]
@@ -993,6 +1080,7 @@ def intersect_tris_pairs_shadow(
     active=None,
     vpi: int = DEF_VPI,
     sgw: int = DEF_SGW,
+    compact: float = 0.0,
 ):
     """Nearest mesh hit distance only (occlusion query; the reference's
     shadow test needs any hit with t^2 <= |L-P|^2,
@@ -1000,24 +1088,47 @@ def intersect_tris_pairs_shadow(
 
     active: optional (R,) bool — lanes whose occlusion result is unused
     (the integrator's direct term is exactly zero) contribute no pair
-    work and return INF."""
+    work and return INF.
+
+    compact: fraction of R to cast after grouped activity compaction
+    (_compact_src; ``active`` folds into the activity mask); 0 disables.
+    Exact: overflow falls back to the full cast via lax.cond."""
     nc = tab.tile_aabb.shape[0]
     blk = _blk_cap(nc, subg, blk, tile_width(tab), 1, tab.fields.shape[1])
     O, u, cap, active, R, pad = _prep(O, u, cap, blk, active)
 
-    def one(lo, hi):
-        sl = slice(lo, hi)
-        Oc = Vec3(O.x[sl], O.y[sl], O.z[sl])
-        uc = Vec3(u.x[sl], u.y[sl], u.z[sl])
-        rfT = _ray_feature_rows(Oc, uc)
-        bits = _pair_bits(Oc, uc, tab.tile_aabb, nc, subg, blk,
-                          cap=None if cap is None else cap[sl],
-                          active=None if active is None else active[sl],
-                          members=_members_of(tab))
-        return _pairs_call(
-            rfT, tab.fields, bits, float(eps_leaf), False, subg, blk, nc,
-            interpret, tile_width(tab), 0, vpi, sgw
-        )
+    def cast(Ov, uv, capv, actv):
+        def one(lo, hi):
+            sl = slice(lo, hi)
+            Oc = Vec3(Ov.x[sl], Ov.y[sl], Ov.z[sl])
+            uc = Vec3(uv.x[sl], uv.y[sl], uv.z[sl])
+            rfT = _ray_feature_rows(Oc, uc)
+            bits = _pair_bits(Oc, uc, tab.tile_aabb, nc, subg, blk,
+                              cap=None if capv is None else capv[sl],
+                              active=None if actv is None else actv[sl],
+                              members=_members_of(tab))
+            return _pairs_call(
+                rfT, tab.fields, bits, float(eps_leaf), False, subg, blk,
+                nc, interpret, tile_width(tab), 0, vpi, sgw
+            )
 
-    t = _chunked(O.x.shape[0], smem_ray_cap(nc, subg, blk), one)
+        return _chunked(Ov.x.shape[0], smem_ray_cap(nc, subg, blk), one)
+
+    Rp = O.x.shape[0]
+    C = _compact_ok(compact, nc, Rp, blk)
+    if C:
+        src, n_act = _compact_src(O, u, tab.tile_aabb, nc, cap, active, C, R)
+
+        def path_compact(_):
+            g = lambda a: jnp.take(a, src, axis=0)
+            t_s = cast(Vec3(g(O.x), g(O.y), g(O.z)),
+                       Vec3(g(u.x), g(u.y), g(u.z)),
+                       None if cap is None else g(cap),
+                       None if active is None else g(active))
+            return jnp.full((Rp,), INF, jnp.float32).at[src].set(t_s)
+
+        t = jax.lax.cond(n_act <= C, path_compact,
+                         lambda _: cast(O, u, cap, active), None)
+    else:
+        t = cast(O, u, cap, active)
     return t[:R] if pad else t

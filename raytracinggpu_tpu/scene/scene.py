@@ -135,6 +135,17 @@ class RenderConfig:
                                 # chunks at 100% occupancy (merging tiles
                                 # only clears activation bits, so paving
                                 # minimizes pair count for a given order)
+    pairs_compact: float = 0.0  # grouped activity compaction: cast only
+                                # ~this fraction of rays per mesh cast,
+                                # packing rays with any active tile densely
+                                # and grouped by first tile (one int32
+                                # lax.sort).  At depth >= 1 only ~4-13% of
+                                # rays touch the mesh but union divergence
+                                # makes every subgroup pay (~14x at d>=2,
+                                # PERF_NOTES.md) — the TPU form of the
+                                # reference's free per-thread early-out.
+                                # Exact for any scene (lax.cond falls back
+                                # to the full cast on overflow); 0 = off
     pairs_chunk: int = 262144   # rays per cast in pairs mode (the culling
                                 # bitmask costs ceil(n_tiles/32) * (R/subg)
                                 # * 4 bytes of SMEM — 512 KB at defaults;

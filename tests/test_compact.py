@@ -1,0 +1,128 @@
+"""Grouped activity compaction (ops/pairs_trace._compact_src).
+
+At depth >= 1 only ~4-13% of rays have any active mesh tile, but union
+divergence makes every 16-ray subgroup pay (~14x at depth >= 2) — the
+compacted cast packs active rays densely, grouped by first active tile,
+and scatters results back.  Exactness contract: identical renders for any
+compact fraction, including when the active count overflows the capacity
+(lax.cond full-cast fallback).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracinggpu_tpu.core.vec import Vec3
+from raytracinggpu_tpu.ops.pairs_trace import (
+    _compact_ok,
+    _compact_src,
+    build_pairs_tables,
+    intersect_tris_pairs,
+    intersect_tris_pairs_shadow,
+)
+from raytracinggpu_tpu.render.pipeline import Camera, render_frame
+from raytracinggpu_tpu.scene.mesh import load_cat_mesh
+from raytracinggpu_tpu.scene.obj import CAT_OBJ_PATH
+from raytracinggpu_tpu.scene.presets import build_preset
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return load_cat_mesh(CAT_OBJ_PATH, False, 0.6, (0.0, -10.0, 0.0))
+
+
+def test_compact_src_grouping():
+    # Two unit boxes along x: rays 1,5 hit box 0; ray 3 hits box 1;
+    # others miss.  Expect src = [1, 5, 3, then inactive lanes in order].
+    aabb = np.zeros((2, 8), np.float32)
+    aabb[0, 0:3] = (0, 0, 0)
+    aabb[0, 3:6] = (1, 1, 1)
+    aabb[1, 0:3] = (2, 0, 0)
+    aabb[1, 3:6] = (3, 1, 1)
+    R = 8
+    Ox = np.full(R, -1.0, np.float32)
+    Oy = np.full(R, 0.5, np.float32)
+    Oz = np.full(R, 0.5, np.float32)
+    ux = np.ones(R, np.float32)
+    uy = np.zeros(R, np.float32)
+    uz = np.zeros(R, np.float32)
+    uy[0] = 1.0; ux[0] = 0.0   # ray 0: shoots up, misses
+    uy[2] = -1.0; ux[2] = 0.0  # ray 2: down, misses
+    uy[4] = 1.0; ux[4] = 0.0
+    uy[6] = 1.0; ux[6] = 0.0
+    uy[7] = 1.0; ux[7] = 0.0
+    # ray 3 hits only box 1: start past box 0
+    Ox[3] = 1.5
+    O = Vec3(jnp.asarray(Ox), jnp.asarray(Oy), jnp.asarray(Oz))
+    u = Vec3(jnp.asarray(ux), jnp.asarray(uy), jnp.asarray(uz))
+    src, n_act = _compact_src(O, u, jnp.asarray(aabb), 2, None, None, 8, R)
+    assert int(n_act) == 3
+    got = np.asarray(src)
+    assert list(got[:3]) == [1, 5, 3], got  # grouped by first tile, stable
+    assert list(got[3:]) == [0, 2, 4, 6, 7], got  # inactive tail in order
+
+
+def test_compact_ok_gates():
+    assert _compact_ok(0.0, 31, 262144, 4096) == 0
+    assert _compact_ok(0.25, 31, 262144, 4096) == 65536
+    assert _compact_ok(0.25, 200, 262144, 4096) == 0      # nc >= 128
+    assert _compact_ok(0.25, 31, 1 << 24, 4096) == 0      # R too big
+    assert _compact_ok(0.9, 31, 8192, 4096) == 0          # C would be >= R
+    # rounding to whole blocks
+    assert _compact_ok(0.1, 31, 262144, 4096) == 28672
+
+
+@pytest.mark.parametrize("frac", [0.25, 0.05])
+def test_direct_cast_parity(mesh, frac):
+    """Direct kernel API: compacted closest + shadow equal the full cast
+    bit-for-bit (including the payload normal) on scattered rays."""
+    tab = build_pairs_tables(mesh.A, mesh.B, mesh.C, mesh.bvh)
+    rng = np.random.default_rng(7)
+    R = 8192
+    Ov = rng.uniform(-25, 25, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(Ov[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    cap = jnp.full((R,), 1e9, jnp.float32)
+    h0, n0 = intersect_tris_pairs(O, u, tab, 1e-4, cap=cap, interpret=True,
+                                  payload="geom")
+    h1, n1 = intersect_tris_pairs(O, u, tab, 1e-4, cap=cap, interpret=True,
+                                  payload="geom", compact=frac)
+    assert np.array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    assert np.array_equal(np.asarray(h0.idx), np.asarray(h1.idx))
+    for a, b in zip(n0, n1):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    act = rng.uniform(size=R) < 0.5
+    t0 = intersect_tris_pairs_shadow(
+        O, u, tab, 1e-4, cap=cap, interpret=True, active=jnp.asarray(act))
+    t1 = intersect_tris_pairs_shadow(
+        O, u, tab, 1e-4, cap=cap, interpret=True, active=jnp.asarray(act),
+        compact=frac)
+    # Inactive lanes are don't-care by contract (the integrator never
+    # reads them; the full cast leaks subgroup-mates' tile results into
+    # them, the compacted cast returns INF) — compare active lanes only.
+    assert np.array_equal(np.asarray(t0)[act], np.asarray(t1)[act])
+
+
+def test_render_parity_with_overflow(mesh):
+    """Full pipeline: compact renders bit-equal to base, including a tiny
+    capacity that forces the overflow fallback on the primary cast."""
+    imgs = {}
+    for name, kw in {
+        "base": {},
+        "cmp25": dict(pairs_compact=0.25),
+        "cmp_overflow": dict(pairs_compact=0.02),
+        "sah_pave_cmp": dict(pairs_cluster="sah", pairs_pack="pave",
+                             pairs_cut=32, pairs_compact=0.25),
+    }.items():
+        cfg, tables = build_preset(
+            "array_bvh", mesh=mesh, width=48, height=48, spp=2,
+            max_depth=3, traversal="pairs", **kw)
+        cam = Camera.fixed(cfg.camera_c)
+        img, _ = render_frame(tables, cfg, cam, jax.random.PRNGKey(0))
+        imgs[name] = np.asarray(img)
+    base = imgs.pop("base")
+    assert np.isfinite(base).all()
+    for name, a in imgs.items():
+        assert np.array_equal(a, base), name
