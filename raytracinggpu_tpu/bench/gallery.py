@@ -167,6 +167,18 @@ ABLATION_MODES = {
                       "_note": "block auto-capped by the VMEM budget "
                                "(_blk_cap: 5 payload scratches at "
                                "tile_t=512 -> blk 1024)"},
+    # clustering axis (r3): cluster tree (reference midpoint vs binned
+    # SAH), tile packing (morton first-fit vs full-occupancy pave), and
+    # member-box granularity — bit-identical perf levers (test_clustering)
+    "pairs_sah_pave": {"pairs_cluster": "sah", "pairs_pack": "pave",
+                       "pairs_cut": 32},
+    "pairs_sah_morton": {"pairs_cluster": "sah"},
+    "pairs_ref_pave": {"pairs_pack": "pave", "pairs_cut": 32},
+    # compaction axis (r3): grouped activity compaction of mesh casts
+    # (~4-13% of deep rays are mesh-active; union divergence ~14x)
+    "pairs_compact": {"pairs_compact": 0.25},
+    "pairs_sah_pave_compact": {"pairs_cluster": "sah", "pairs_pack": "pave",
+                               "pairs_cut": 32, "pairs_compact": 0.25},
 }
 
 

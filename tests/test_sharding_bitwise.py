@@ -36,6 +36,27 @@ def test_sharded_bitwise_when_fuse_aligned(n_px, n_sp, spp):
     np.testing.assert_array_equal(img, ref)
 
 
+def test_sharded_pairs_with_compaction(cat_mesh_raw):
+    """Grouped activity compaction under per-device row shards: the sort/
+    gather/scatter run per shard (no cross-device comm) and compaction is
+    exact, so aligned-fuse sharding stays bitwise equal.  pairs_block is
+    shrunk so the compact capacity (rounded to whole blocks) stays below
+    the per-device ray count — on tiny shards _compact_ok disables
+    compaction, which would leave this path untested."""
+    from raytracinggpu_tpu.scene.mesh import build_mesh
+
+    mesh_data = build_mesh(cat_mesh_raw)
+    cfg, tables = build_preset(
+        "array_bvh", mesh=mesh_data, width=64, height=64, spp=2,
+        max_depth=2, traversal="pairs", spp_fuse=1, pairs_block=128,
+        pairs_compact=0.25, pairs_cluster="sah", pairs_pack="pave",
+        pairs_cut=32,
+    )
+    assert tables.pairs_mesh is not None
+    ref, img = _render_both(cfg, tables, 4, 2)
+    np.testing.assert_array_equal(img, ref)
+
+
 def test_sharded_pairs_production_kernel(cat_mesh_raw):
     """The pairs traversal (interpret mode on CPU) under an (px x sp) mesh:
     per-device row shards shrink R per device, exercising the SMEM-budget
