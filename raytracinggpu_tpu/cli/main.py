@@ -47,6 +47,17 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="uniform scale applied to the custom OBJ")
     p.add_argument("--obj-offset", type=float, nargs=3, default=(0.0, 0.0, 0.0),
                    metavar=("X", "Y", "Z"))
+    p.add_argument("--clustering", default=None,
+                   choices=["ref", "sah", "sah-pave", "ref-pave"],
+                   help="pairs-kernel clustering: cluster tree x packing "
+                        "(bit-identical perf knob; '-pave' packs "
+                        "consecutive tree-order tiles at 100%% occupancy "
+                        "with cut-32 member boxes)")
+    p.add_argument("--compact", type=float, default=None, metavar="FRAC",
+                   help="grouped activity compaction of pairs casts: cast "
+                        "only ~FRAC of rays (active ones packed + grouped "
+                        "by first tile); exact — overflow falls back to "
+                        "the full cast")
     p.add_argument("--bvh-builder", default="reference",
                    choices=["reference", "lbvh"],
                    help="acceleration-structure builder")
@@ -66,6 +77,14 @@ def _build(args):
         over["traversal"] = args.traversal
     if args.precision:
         over["mxu_precision"] = args.precision
+    if getattr(args, "clustering", None):
+        tree, _, pack = args.clustering.partition("-")
+        over["pairs_cluster"] = tree
+        if pack == "pave":
+            over["pairs_pack"] = "pave"
+            over["pairs_cut"] = 32
+    if getattr(args, "compact", None) is not None:
+        over["pairs_compact"] = args.compact
 
     mesh = None
     builder = getattr(args, "bvh_builder", "reference")
