@@ -873,7 +873,13 @@ def _prep(O, u, cap, blk, active=None):
     return O, u, cap, active, R, pad
 
 
-_KEY_SHIFT = 24  # lane id in the low 24 bits; tile key above
+def _key_shift(nc: int, R: int) -> int:
+    """Lane-bit budget for the packed (tile_key << shift) | lane sort key:
+    the key needs bit_length(nc) bits (nc itself is the inactive marker),
+    the lane needs ceil(log2(R)) — both must share a non-negative int32.
+    Returns 0 when they cannot (compaction then disables)."""
+    shift = 31 - int(nc).bit_length()
+    return shift if R <= (1 << shift) else 0
 
 
 def _compact_src(O, u, aabb, nc, cap, active, C, valid_n):
@@ -901,7 +907,8 @@ def _compact_src(O, u, aabb, nc, cap, active, C, valid_n):
     cast re-runs the exact member culling on C rays, so the bits the
     kernel walks are identical to the uncompacted cast's for those rays.
 
-    Requires nc < 128 and R < 2^24 (key and lane share an int32).
+    The key and the lane share an int32 with an adaptive split
+    (_key_shift); _compact_ok gates callers when they cannot.
     valid_n: lanes >= valid_n are _prep padding — forced inactive so they
     never consume compact capacity.
     """
@@ -911,20 +918,21 @@ def _compact_src(O, u, aabb, nc, cap, active, C, valid_n):
     if active is not None:
         hit = hit & active[None, :]
     R = O.x.shape[0]
+    shift = _key_shift(nc, R)
     lane = jnp.arange(R, dtype=jnp.int32)
     act = jnp.any(hit, axis=0) & (lane < valid_n)
     first = jnp.argmax(hit, axis=0).astype(jnp.int32)
     key = jnp.where(act, first, np.int32(nc))
-    skey = (key << _KEY_SHIFT) | lane
-    src = jax.lax.sort(skey)[:C] & np.int32((1 << _KEY_SHIFT) - 1)
+    skey = (key << shift) | lane
+    src = jax.lax.sort(skey)[:C] & np.int32((1 << shift) - 1)
     return src, jnp.sum(act.astype(jnp.int32))
 
 
 def _compact_ok(compact: float, nc: int, R: int, blk: int) -> int:
     """Compact capacity C (rounded up to whole blocks), or 0 when
-    compaction is off / inapplicable (key+lane must share an int32; a
-    capacity >= R would only add sort+gather for nothing)."""
-    if not compact or nc >= 128 or R >= 1 << _KEY_SHIFT:
+    compaction is off / inapplicable (key+lane must share an int32 —
+    _key_shift; a capacity >= R would only add sort+gather for nothing)."""
+    if not compact or not _key_shift(nc, R):
         return 0
     C = -(-int(R * compact) // blk) * blk
     return C if C < R else 0

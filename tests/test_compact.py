@@ -65,8 +65,11 @@ def test_compact_src_grouping():
 def test_compact_ok_gates():
     assert _compact_ok(0.0, 31, 262144, 4096) == 0
     assert _compact_ok(0.25, 31, 262144, 4096) == 65536
-    assert _compact_ok(0.25, 200, 262144, 4096) == 0      # nc >= 128
-    assert _compact_ok(0.25, 31, 1 << 24, 4096) == 0      # R too big
+    # adaptive key/lane split: bigger meshes shrink the lane budget
+    assert _compact_ok(0.25, 200, 262144, 4096) == 65536  # 8+23 bits fit
+    assert _compact_ok(0.25, 200, 1 << 24, 4096) == 0     # R > 2^23
+    assert _compact_ok(0.25, 16384, 1 << 16, 4096) == 16384  # 15+16 bits
+    assert _compact_ok(0.25, 16384, (1 << 16) + 8, 4096) == 0
     assert _compact_ok(0.9, 31, 8192, 4096) == 0          # C would be >= R
     # rounding to whole blocks
     assert _compact_ok(0.1, 31, 262144, 4096) == 28672
