@@ -62,6 +62,18 @@ def test_compact_src_grouping():
     assert list(got[3:]) == [0, 2, 4, 6, 7], got  # inactive tail in order
 
 
+def test_key_mode_selection():
+    from raytracinggpu_tpu.ops.pairs_trace import _key_mode
+
+    # nc=31: pairwise key needs 10 bits -> lane budget 2^21
+    assert _key_mode(31, 1 << 21) == (2, 21)
+    # just past the pairwise budget: falls back to first-tile (5 bits)
+    assert _key_mode(31, (1 << 21) + 1) == (1, 26)
+    # big mesh: nc=16384 pairwise needs 29 bits (no), single 15 bits
+    assert _key_mode(16384, 1 << 16) == (1, 16)
+    assert _key_mode(16384, (1 << 16) + 1) == (0, 0)
+
+
 def test_compact_ok_gates():
     assert _compact_ok(0.0, 31, 262144, 4096) == 0
     assert _compact_ok(0.25, 31, 262144, 4096) == 65536
