@@ -184,17 +184,24 @@ ABLATION_MODES = {
 
 _preset_cache: dict = {}
 
+# Config keys that change the BUILT SCENE TABLES (presets.build_preset
+# forwards them into build_scene_tables) — an ablation override touching
+# one of these must rebuild the preset, not just replace() the config.
+_TABLE_KEYS = ("tri_block", "pairs_tile", "pairs_cluster", "pairs_cut",
+               "pairs_pack")
 
-def _cached_preset(w, h, spp, depth):
+
+def _cached_preset(w, h, spp, depth, **table_over):
     """Scene tables per size — the in-process ablation_rows() loop reuses
     one build (OBJ parse + BVH + cluster packing + upload) across the ~13
-    modes that share the default protocol size."""
+    modes that share the default protocol size AND default tables."""
     from raytracinggpu_tpu.scene.presets import build_preset
 
-    key = (w, h, spp, depth)
+    key = (w, h, spp, depth, tuple(sorted(table_over.items())))
     if key not in _preset_cache:
         _preset_cache[key] = build_preset(
-            "array_bvh", width=w, height=h, spp=spp, max_depth=depth)
+            "array_bvh", width=w, height=h, spp=spp, max_depth=depth,
+            **table_over)
     return _preset_cache[key]
 
 
@@ -206,7 +213,8 @@ def one_ablation_row(name: str, quick=False) -> dict:
     over = dict(ABLATION_MODES[name])
     note = over.pop("_note", None)
     w, h, spp, depth = over.pop("_size", (512, 512, 8 if quick else 32, 5))
-    cfg0, tables = _cached_preset(w, h, spp, depth)
+    table_over = {k: over[k] for k in _TABLE_KEYS if k in over}
+    cfg0, tables = _cached_preset(w, h, spp, depth, **table_over)
     cam = Camera.default(cfg0)
     cfg = replace(cfg0, **over)
 

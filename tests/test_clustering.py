@@ -143,3 +143,23 @@ def test_pose_transform_with_sah_pave(mesh):
         pts = V[slot_src[live]]
         assert (pts >= aabb[m, 0:3] - 1e-3).all()
         assert (pts <= aabb[m, 3:6] + 1e-3).all()
+
+
+def test_gallery_ablation_rows_rebuild_tables(mesh):
+    """Table-affecting ablation overrides (pairs_pack/cut/cluster/tile)
+    must rebuild the preset tables — replace() on the config alone leaves
+    the measured kernel identical to the default mode (regression: the
+    ablation runner once cached tables keyed only by frame size)."""
+    from raytracinggpu_tpu.bench import gallery
+
+    assert set(gallery._TABLE_KEYS) >= {
+        k for mode in gallery.ABLATION_MODES.values()
+        for k in ("pairs_pack", "pairs_cluster", "pairs_cut", "pairs_tile")
+        if k in mode}
+    gallery._preset_cache.clear()
+    _, tab0 = gallery._cached_preset(48, 48, 1, 2)
+    _, tab1 = gallery._cached_preset(
+        48, 48, 1, 2, pairs_pack="pave", pairs_cut=32)
+    assert (tab1.pairs_mesh.tile_aabb.shape[0]
+            != tab0.pairs_mesh.tile_aabb.shape[0])
+    gallery._preset_cache.clear()
