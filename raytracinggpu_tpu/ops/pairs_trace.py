@@ -892,8 +892,16 @@ def _key_mode(nc: int, R: int) -> tuple[int, int]:
     return 0, 0
 
 
-def _compact_src(O, u, aabb, nc, cap, active, C, valid_n):
-    """Grouped activity compaction: source lane indices for a C-ray cast.
+def _compact_key(O, u, aabb, nc, cap, active, valid_n):
+    """Grouped activity compaction, keying stage: the packed sort key and
+    the active count.
+
+    Split from the sort so callers can run ``lax.sort`` INSIDE the
+    compact branch of their overflow ``lax.cond`` — cond *operands* are
+    computed unconditionally, so a cast whose activity overflows the
+    compact capacity (dense primary casts) would otherwise pay the full
+    (R,) sort it never uses; the key + count here are the cheap coarse
+    slab test plus a reduce, which both paths need anyway.
 
     Measured on real 512^2 wavefronts (PERF_NOTES.md r3): at depth >= 1
     only ~4-13% of rays have ANY active mesh tile, yet they are scattered
@@ -942,8 +950,19 @@ def _compact_src(O, u, aabb, nc, cap, active, C, valid_n):
         inactive = np.int32(nc)
     key = jnp.where(act, key, inactive)
     skey = (key << shift) | lane
-    src = jax.lax.sort(skey)[:C] & np.int32((1 << shift) - 1)
-    return src, jnp.sum(act.astype(jnp.int32))
+    return skey, jnp.sum(act.astype(jnp.int32)), shift
+
+
+def _compact_sort(skey, C, shift):
+    """Sorting stage of the compaction (run it inside the compact branch):
+    source lane indices for the C-ray cast."""
+    return jax.lax.sort(skey)[:C] & np.int32((1 << shift) - 1)
+
+
+def _compact_src(O, u, aabb, nc, cap, active, C, valid_n):
+    """Key + sort in one step (tests / non-cond callers)."""
+    skey, n_act, shift = _compact_key(O, u, aabb, nc, cap, active, valid_n)
+    return _compact_sort(skey, C, shift), n_act
 
 
 def _compact_ok(compact: float, nc: int, R: int, blk: int) -> int:
@@ -1064,10 +1083,12 @@ def intersect_tris_pairs(
     Rp = O.x.shape[0]
     C = _compact_ok(compact, nc, Rp, blk)
     if C:
-        src, n_act = _compact_src(O, u, tab.tile_aabb, nc, cap, None, C, R)
+        skey, n_act, shift = _compact_key(O, u, tab.tile_aabb, nc, cap,
+                                          None, R)
         n_out = 5 if pcode else 2
 
         def path_compact(_):
+            src = _compact_sort(skey, C, shift)
             g = lambda a: jnp.take(a, src, axis=0)
             out_s = cast(Vec3(g(O.x), g(O.y), g(O.z)),
                          Vec3(g(u.x), g(u.y), g(u.z)),
@@ -1143,9 +1164,11 @@ def intersect_tris_pairs_shadow(
     Rp = O.x.shape[0]
     C = _compact_ok(compact, nc, Rp, blk)
     if C:
-        src, n_act = _compact_src(O, u, tab.tile_aabb, nc, cap, active, C, R)
+        skey, n_act, shift = _compact_key(O, u, tab.tile_aabb, nc, cap,
+                                          active, R)
 
         def path_compact(_):
+            src = _compact_sort(skey, C, shift)
             g = lambda a: jnp.take(a, src, axis=0)
             t_s = cast(Vec3(g(O.x), g(O.y), g(O.z)),
                        Vec3(g(u.x), g(u.y), g(u.z)),
