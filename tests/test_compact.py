@@ -120,6 +120,27 @@ def test_direct_cast_parity(mesh, frac):
     assert np.array_equal(np.asarray(t0)[act], np.asarray(t1)[act])
 
 
+def test_sort_stays_inside_compact_branch(mesh):
+    """The (R,) compact sort must live in the lax.cond's compact branch,
+    not the entry computation — cond *operands* are computed
+    unconditionally, so a hoisted sort would tax every overflowing
+    (dense) cast with a full-R sort it never uses."""
+    import re
+
+    tab = build_pairs_tables(mesh.A, mesh.B, mesh.C, mesh.bvh)
+    R = 8192
+    O = Vec3(*(jnp.zeros((R,)) for _ in range(3)))
+    u = Vec3(jnp.ones((R,)), jnp.zeros((R,)), jnp.zeros((R,)))
+    f = jax.jit(lambda O, u: intersect_tris_pairs_shadow(
+        O, u, tab, 1e-4, interpret=True, blk=1024, compact=0.25))
+    txt = f.lower(O, u).compile().as_text()
+    sort_lines = re.findall(r"= .*\bsort\(", txt)
+    assert sort_lines, "compaction should compile to exactly one sort"
+    entry = txt.split("ENTRY")[1]
+    assert not re.findall(r"= .*\bsort\(", entry), (
+        "compact sort was hoisted into the entry computation")
+
+
 def test_render_parity_with_overflow(mesh):
     """Full pipeline: compact renders bit-equal to base, including a tiny
     capacity that forces the overflow fallback on the primary cast."""
