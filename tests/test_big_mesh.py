@@ -124,6 +124,53 @@ def test_pairs_streams_huge_mesh(rng):
         build_pairs_tables(Ao, Bo, Co, bvh, tile_t=384)
 
 
+def test_pairs_compact_on_streamed_mesh(rng):
+    """Compaction composes with supertile streaming: a compacted cast on a
+    >ST_SLOTS mesh (n_st > 1 field blocks, int32 key falls back to the
+    single-tile mode when the pairwise key cannot fit) is bit-identical to
+    the full cast — and the compact branch is PROVEN taken (n_act < C)."""
+    from raytracinggpu_tpu.accel.bvh import build_bvh
+    from raytracinggpu_tpu.ops.pairs_trace import (
+        ST_SLOTS,
+        _compact_key,
+        _compact_ok,
+        build_pairs_tables,
+        intersect_tris_pairs,
+    )
+
+    n = 52000
+    A, B, C = _big_mesh(rng, n)
+    bvh = build_bvh(A, B, C)
+    Ao, Bo, Co = A[bvh.order], B[bvh.order], C[bvh.order]
+    tab = build_pairs_tables(Ao, Bo, Co, bvh)
+    assert tab.fields.shape[1] > ST_SLOTS  # streamed
+
+    # 64 rays aimed into the soup; 448 parked far away pointing away —
+    # activity stays well under the compact capacity.
+    m, mh = 512, 64
+    o = np.full((m, 3), 200.0, np.float32)
+    d = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (m, 1))
+    o[:mh] = rng.uniform(-25, 25, (mh, 3)).astype(np.float32)
+    dh = rng.standard_normal((mh, 3)).astype(np.float32)
+    d[:mh] = dh / np.linalg.norm(dh, axis=1, keepdims=True)
+    O = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    u = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    nc = tab.tile_aabb.shape[0]
+    Cc = _compact_ok(0.25, nc, m, 256)
+    assert Cc and Cc < m
+    _, n_act, _ = _compact_key(O, u, tab.tile_aabb, nc, None, None, m)
+    assert int(n_act) <= Cc  # the lax.cond takes the compact branch
+
+    ph = intersect_tris_pairs(O, u, tab, 1e-4, interpret=True, blk=256)
+    pc = intersect_tris_pairs(O, u, tab, 1e-4, interpret=True, blk=256,
+                              compact=0.25)
+    np.testing.assert_array_equal(np.asarray(ph.t), np.asarray(pc.t))
+    hit = np.asarray(ph.t) < INF
+    np.testing.assert_array_equal(
+        np.asarray(ph.idx)[hit], np.asarray(pc.idx)[hit])
+
+
 def test_blk_caps_respect_budgets():
     """_blk_cap shrinks the kernel block to the SMEM bitmask and VMEM
     scratch budgets (VERDICT-r3 review findings: non-default pairs_block
