@@ -179,6 +179,47 @@ ABLATION_MODES = {
     "pairs_compact": {"pairs_compact": 0.25},
     "pairs_sah_pave_compact": {"pairs_cluster": "sah", "pairs_pack": "pave",
                                "pairs_cut": 32, "pairs_compact": 0.25},
+    # post-grouping subgroup sweep: compaction groups rays by active-tile
+    # span, so doubling the union scope no longer doubles the union — the
+    # CPU pair counts invert (s16 28460 / s32 15324 / s64 8578,
+    # PERF_NOTES.md); whether the wider visits win on TPU depends on the
+    # serial per-visit floor and the vreg pressure of the hoisted
+    # (subg, 128) broadcasts
+    "pairs_sah_pave_compact_s32": {
+        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
+        "pairs_compact": 0.25, "pairs_subgroup": 32},
+    "pairs_sah_pave_compact_s64": {
+        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
+        "pairs_compact": 0.25, "pairs_subgroup": 64},
+    # capacity-fraction sweep: smaller C = cheaper gathers/casts but more
+    # full-cast fallbacks (d0 closest runs ~11.5% active on the headline
+    # mix, so 0.125 overflows it by design — the cond keeps it exact)
+    "pairs_sah_pave_compact_f125": {
+        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
+        "pairs_compact": 0.125},
+    "pairs_sah_pave_compact_f125_s32": {
+        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
+        "pairs_compact": 0.125, "pairs_subgroup": 32},
+    "pairs_sah_pave_compact_f125_s64": {
+        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
+        "pairs_compact": 0.125, "pairs_subgroup": 64},
+    "pairs_sah_pave_compact_f0625": {
+        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
+        "pairs_compact": 0.0625},
+    # compaction without the sah/pave retables (isolates the frac effect
+    # on the default morton tables)
+    "pairs_compact_f125": {"pairs_compact": 0.125},
+    "pairs_compact_f125_s32": {"pairs_compact": 0.125,
+                               "pairs_subgroup": 32},
+    # frac=5/32: one step above f125, enough capacity that the d0 shadow
+    # cast (13.3% activity on the headline mix) also takes the compact
+    # branch instead of the full-cast fallback
+    "pairs_sah_pave_compact_f15625": {
+        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
+        "pairs_compact": 0.15625},
+    "pairs_sah_pave_compact_f15625_s32": {
+        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
+        "pairs_compact": 0.15625, "pairs_subgroup": 32},
 }
 
 

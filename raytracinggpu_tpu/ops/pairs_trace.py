@@ -59,6 +59,8 @@ NUM_FIELDS = 32       # rows 0-15: MT constants; 16: original tri id;
                       # per visit — any post-kernel per-winner recovery
                       # pays the XLA (R, small)-column wall, measured
                       # ~9 ms/cast at 480k rays); 26-31: pad
+NUM_RF_ROWS = 16      # ray-feature rows (_ray_feature_rows): 9 used by the
+                      # kernel, the rest carry compacted-cast side data
 DEF_BLK = 4096        # rays per kernel program
 DEF_SUBG = 16         # rays per culling subgroup
 DEF_VPI = 2           # tiles visited per scalar-walk iteration (see visit());
@@ -381,20 +383,25 @@ def build_pairs_tables(A, B, C, bvh, tile_t: int = TILE_T, vna=None,
     )
 
 
-def _ray_feature_rows(O: Vec3, u: Vec3) -> jnp.ndarray:
-    """(16, R) ray-feature ROWS: [u(3), w=O x u(3), O(3), 0(7)].
+def _ray_feature_rows(O: Vec3, u: Vec3, extra=()) -> jnp.ndarray:
+    """(16, R) ray-feature ROWS: [u(3), w=O x u(3), O(3), extra..., 0-pad].
 
     Row-major on purpose: stacking (R,) components along axis 0 is a
     concatenation (full-bandwidth), while the (R, 16) column form is an
     interleave that XLA executes at row rate (~5 cycles/row — measured
     1.4-1.9 ms per 262k-ray cast).  The kernel transposes one (16, blk)
-    block to (blk, 16) in VMEM per program instead."""
+    block to (blk, 16) in VMEM per program instead.
+
+    extra: up to 7 additional (R,) f32 rows (rows 9..15).  The compacted
+    cast packs the per-ray cap / activity mask here so ONE minor-axis
+    ``take`` moves every per-ray quantity at once (the kernel reads only
+    columns 0-8; rows 9-15 are dead weight in its VMEM block)."""
     w = O.cross(u)
     z = jnp.zeros_like(u.x)
-    return jnp.stack(
-        [u.x, u.y, u.z, w.x, w.y, w.z, O.x, O.y, O.z,
-         z, z, z, z, z, z, z], axis=0,
-    )
+    rows = [u.x, u.y, u.z, w.x, w.y, w.z, O.x, O.y, O.z, *extra]
+    assert len(rows) <= NUM_RF_ROWS
+    rows += [z] * (NUM_RF_ROWS - len(rows))
+    return jnp.stack(rows, axis=0)
 
 
 # de Bruijn sequence for in-kernel lowest-set-bit extraction (the scalar
@@ -1064,21 +1071,23 @@ def intersect_tris_pairs(
                    tab.fields.shape[1])
     O, u, cap, _, R, pad = _prep(O, u, cap, blk)
 
-    def cast(Ov, uv, capv):
+    def cast_rows(rfTv, Ov, uv, capv):
         def one(lo, hi):
             sl = slice(lo, hi)
             Oc = Vec3(Ov.x[sl], Ov.y[sl], Ov.z[sl])
             uc = Vec3(uv.x[sl], uv.y[sl], uv.z[sl])
-            rfT = _ray_feature_rows(Oc, uc)
             bits = _pair_bits(Oc, uc, tab.tile_aabb, nc, subg, blk,
                               cap=None if capv is None else capv[sl],
                               members=_members_of(tab))
             return _pairs_call(
-                rfT, tab.fields, bits, float(eps_leaf), True, subg, blk, nc,
-                interpret, tile_width(tab), pcode, vpi, sgw
+                rfTv[:, sl], tab.fields, bits, float(eps_leaf), True, subg,
+                blk, nc, interpret, tile_width(tab), pcode, vpi, sgw
             )
 
         return _chunked(Ov.x.shape[0], smem_ray_cap(nc, subg, blk), one)
+
+    def cast(Ov, uv, capv):
+        return cast_rows(_ray_feature_rows(Ov, uv), Ov, uv, capv)
 
     Rp = O.x.shape[0]
     C = _compact_ok(compact, nc, Rp, blk)
@@ -1089,10 +1098,18 @@ def intersect_tris_pairs(
 
         def path_compact(_):
             src = _compact_sort(skey, C, shift)
-            g = lambda a: jnp.take(a, src, axis=0)
-            out_s = cast(Vec3(g(O.x), g(O.y), g(O.z)),
-                         Vec3(g(u.x), g(u.y), g(u.z)),
-                         None if cap is None else g(cap))
+            # ONE minor-axis take moves every per-ray quantity: the seven
+            # flat (R,)->(C,) gathers cost ~5 ms per 262k cast while the
+            # (16, R)->(16, C) row-form take costs ~1 ms (measured,
+            # bench/compact_micro.py); O/u/cap come back as free
+            # full-width row slices.
+            rfT = _ray_feature_rows(
+                O, u, () if cap is None else (cap,))
+            rf = jnp.take(rfT, src, axis=1)
+            Oc = Vec3(rf[6], rf[7], rf[8])
+            uc = Vec3(rf[0], rf[1], rf[2])
+            out_s = cast_rows(rf, Oc, uc,
+                              None if cap is None else rf[9])
             # no-hit defaults (the exact kernel output for rays with no
             # active tiles): t=INF, idx=0, N=(0,0,0)
             defaults = [jnp.full((Rp,), INF, jnp.float32),
@@ -1144,22 +1161,24 @@ def intersect_tris_pairs_shadow(
     blk = _blk_cap(nc, subg, blk, tile_width(tab), 1, tab.fields.shape[1])
     O, u, cap, active, R, pad = _prep(O, u, cap, blk, active)
 
-    def cast(Ov, uv, capv, actv):
+    def cast_rows(rfTv, Ov, uv, capv, actv):
         def one(lo, hi):
             sl = slice(lo, hi)
             Oc = Vec3(Ov.x[sl], Ov.y[sl], Ov.z[sl])
             uc = Vec3(uv.x[sl], uv.y[sl], uv.z[sl])
-            rfT = _ray_feature_rows(Oc, uc)
             bits = _pair_bits(Oc, uc, tab.tile_aabb, nc, subg, blk,
                               cap=None if capv is None else capv[sl],
                               active=None if actv is None else actv[sl],
                               members=_members_of(tab))
             return _pairs_call(
-                rfT, tab.fields, bits, float(eps_leaf), False, subg, blk,
-                nc, interpret, tile_width(tab), 0, vpi, sgw
+                rfTv[:, sl], tab.fields, bits, float(eps_leaf), False,
+                subg, blk, nc, interpret, tile_width(tab), 0, vpi, sgw
             )
 
         return _chunked(Ov.x.shape[0], smem_ray_cap(nc, subg, blk), one)
+
+    def cast(Ov, uv, capv, actv):
+        return cast_rows(_ray_feature_rows(Ov, uv), Ov, uv, capv, actv)
 
     Rp = O.x.shape[0]
     C = _compact_ok(compact, nc, Rp, blk)
@@ -1169,11 +1188,20 @@ def intersect_tris_pairs_shadow(
 
         def path_compact(_):
             src = _compact_sort(skey, C, shift)
-            g = lambda a: jnp.take(a, src, axis=0)
-            t_s = cast(Vec3(g(O.x), g(O.y), g(O.z)),
-                       Vec3(g(u.x), g(u.y), g(u.z)),
-                       None if cap is None else g(cap),
-                       None if active is None else g(active))
+            # Row-form source move (see intersect_tris_pairs): cap rides
+            # as feature row 9, the shadow relevance mask as row 10, so
+            # the whole per-ray state crosses in ONE (16, R)->(16, C)
+            # take instead of six flat gathers.
+            extra = (jnp.zeros_like(O.x) if cap is None else cap,)
+            if active is not None:
+                extra += (active.astype(jnp.float32),)
+            rfT = _ray_feature_rows(O, u, extra)
+            rf = jnp.take(rfT, src, axis=1)
+            Oc = Vec3(rf[6], rf[7], rf[8])
+            uc = Vec3(rf[0], rf[1], rf[2])
+            t_s = cast_rows(rf, Oc, uc,
+                            None if cap is None else rf[9],
+                            None if active is None else rf[10] > 0.5)
             return jnp.full((Rp,), INF, jnp.float32).at[src].set(t_s)
 
         t = jax.lax.cond(n_act <= C, path_compact,
