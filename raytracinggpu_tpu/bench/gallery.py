@@ -134,10 +134,36 @@ def realtime_rows(quick=False):
 # the runtime's execution deadline kills the TPU worker ("kernel fault").
 # It is therefore measured at a reduced size, flagged in its row.
 ABLATION_MODES = {
-    "pairs_s16(default)": {},
-    "pairs_s8": {"pairs_subgroup": 8},
-    "pairs_s32": {"pairs_subgroup": 32},
-    "pairs_s64": {"pairs_subgroup": 64},
+    # production default (r3): grouped activity compaction frac=1/8,
+    # subgroup 32, morton tiles, subgroup-major walk, vpi=2
+    "pairs_default(compact_f125_s32)": {},
+    # compaction axis: off = the r2 form (every subgroup pays the union
+    # divergence, ~14x at d>=2); the fraction sweep trades per-cast
+    # capacity against full-cast fallbacks (d0 closest/shadow run
+    # 11.5/13.3% active on the headline mix, so f125 deliberately leaves
+    # them on the full-cast branch — covering them measures slower)
+    "pairs_nocompact_s16": {"pairs_compact": 0.0, "pairs_subgroup": 16},
+    "pairs_nocompact_s32": {"pairs_compact": 0.0},
+    "pairs_compact_f0625": {"pairs_compact": 0.0625},
+    "pairs_compact_f15625": {"pairs_compact": 0.15625},
+    "pairs_compact_f25": {"pairs_compact": 0.25},
+    # post-grouping subgroup sweep: compaction groups rays by active-tile
+    # span, so doubling the union scope no longer doubles the union — the
+    # CPU pair counts invert (s16 28460 / s32 15324 / s64 8578,
+    # PERF_NOTES.md) and s32 wins on TPU (the serial per-visit floor
+    # amortizes; past s32 the vreg pressure of the hoisted (subg, 128)
+    # broadcasts takes over)
+    "pairs_compact_s16": {"pairs_subgroup": 16},
+    "pairs_compact_s64": {"pairs_subgroup": 64},
+    # clustering axis (r3): cluster tree (reference midpoint vs binned
+    # SAH), tile packing (morton first-fit vs full-occupancy pave), and
+    # member-box granularity — bit-identical perf levers (test_clustering).
+    # Measured within noise of morton tables once compaction is on.
+    "pairs_sah_pave_compact": {"pairs_cluster": "sah", "pairs_pack": "pave",
+                               "pairs_cut": 32},
+    "pairs_sah_pave_nocompact_s16": {
+        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
+        "pairs_compact": 0.0, "pairs_subgroup": 16},
     "pairs_blk1024": {"pairs_block": 1024},
     "pairs_blk8192": {"pairs_block": 8192},
     "pallas_tiled_s64": {"traversal": "pallas"},
@@ -167,59 +193,6 @@ ABLATION_MODES = {
                       "_note": "block auto-capped by the VMEM budget "
                                "(_blk_cap: 5 payload scratches at "
                                "tile_t=512 -> blk 1024)"},
-    # clustering axis (r3): cluster tree (reference midpoint vs binned
-    # SAH), tile packing (morton first-fit vs full-occupancy pave), and
-    # member-box granularity — bit-identical perf levers (test_clustering)
-    "pairs_sah_pave": {"pairs_cluster": "sah", "pairs_pack": "pave",
-                       "pairs_cut": 32},
-    "pairs_sah_morton": {"pairs_cluster": "sah"},
-    "pairs_ref_pave": {"pairs_pack": "pave", "pairs_cut": 32},
-    # compaction axis (r3): grouped activity compaction of mesh casts
-    # (~4-13% of deep rays are mesh-active; union divergence ~14x)
-    "pairs_compact": {"pairs_compact": 0.25},
-    "pairs_sah_pave_compact": {"pairs_cluster": "sah", "pairs_pack": "pave",
-                               "pairs_cut": 32, "pairs_compact": 0.25},
-    # post-grouping subgroup sweep: compaction groups rays by active-tile
-    # span, so doubling the union scope no longer doubles the union — the
-    # CPU pair counts invert (s16 28460 / s32 15324 / s64 8578,
-    # PERF_NOTES.md); whether the wider visits win on TPU depends on the
-    # serial per-visit floor and the vreg pressure of the hoisted
-    # (subg, 128) broadcasts
-    "pairs_sah_pave_compact_s32": {
-        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
-        "pairs_compact": 0.25, "pairs_subgroup": 32},
-    "pairs_sah_pave_compact_s64": {
-        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
-        "pairs_compact": 0.25, "pairs_subgroup": 64},
-    # capacity-fraction sweep: smaller C = cheaper gathers/casts but more
-    # full-cast fallbacks (d0 closest runs ~11.5% active on the headline
-    # mix, so 0.125 overflows it by design — the cond keeps it exact)
-    "pairs_sah_pave_compact_f125": {
-        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
-        "pairs_compact": 0.125},
-    "pairs_sah_pave_compact_f125_s32": {
-        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
-        "pairs_compact": 0.125, "pairs_subgroup": 32},
-    "pairs_sah_pave_compact_f125_s64": {
-        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
-        "pairs_compact": 0.125, "pairs_subgroup": 64},
-    "pairs_sah_pave_compact_f0625": {
-        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
-        "pairs_compact": 0.0625},
-    # compaction without the sah/pave retables (isolates the frac effect
-    # on the default morton tables)
-    "pairs_compact_f125": {"pairs_compact": 0.125},
-    "pairs_compact_f125_s32": {"pairs_compact": 0.125,
-                               "pairs_subgroup": 32},
-    # frac=5/32: one step above f125, enough capacity that the d0 shadow
-    # cast (13.3% activity on the headline mix) also takes the compact
-    # branch instead of the full-cast fallback
-    "pairs_sah_pave_compact_f15625": {
-        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
-        "pairs_compact": 0.15625},
-    "pairs_sah_pave_compact_f15625_s32": {
-        "pairs_cluster": "sah", "pairs_pack": "pave", "pairs_cut": 32,
-        "pairs_compact": 0.15625, "pairs_subgroup": 32},
 }
 
 

@@ -103,10 +103,14 @@ class RenderConfig:
     pallas_subgroup: int = 64   # rays per culling subgroup in the pallas
                                 # kernel (32/64/128 — union-vs-overhead
                                 # ablation axis, see ops/pallas_trace.SUBG)
-    pairs_subgroup: int = 16    # rays per culling subgroup in the pairs
-                                # kernel (8-64; unions tighten as it shrinks
-                                # and the flat pair loop makes small sizes
-                                # affordable — ops/pairs_trace.py)
+    pairs_subgroup: int = 32    # rays per culling subgroup in the pairs
+                                # kernel (8-64).  WITHOUT compaction unions
+                                # tighten as it shrinks and s16 wins; WITH
+                                # the default grouped compaction neighbors
+                                # are coherent, the union no longer doubles
+                                # with scope, and s32 measures fastest
+                                # (125.1 vs 116-118 Mray/s on the headline
+                                # mix — PERF_NOTES.md, ops/pairs_trace.py)
     pairs_block: int = 4096     # rays per pairs-kernel program
     pairs_sgw: int = 1          # pairs-kernel walk order: 1 subgroup-major
                                 # (ray-feature broadcasts hoist once per
@@ -135,7 +139,7 @@ class RenderConfig:
                                 # chunks at 100% occupancy (merging tiles
                                 # only clears activation bits, so paving
                                 # minimizes pair count for a given order)
-    pairs_compact: float = 0.0  # grouped activity compaction: cast only
+    pairs_compact: float = 0.125  # grouped activity compaction: cast only
                                 # ~this fraction of rays per mesh cast,
                                 # packing rays with any active tile densely
                                 # and grouped by first tile (one int32
@@ -145,7 +149,12 @@ class RenderConfig:
                                 # PERF_NOTES.md) — the TPU form of the
                                 # reference's free per-thread early-out.
                                 # Exact for any scene (lax.cond falls back
-                                # to the full cast on overflow); 0 = off
+                                # to the full cast on overflow); 0 = off.
+                                # 0.125 is the measured optimum on the
+                                # headline mix: the high-activity d0 casts
+                                # (11.5/13.3%) deliberately overflow into
+                                # the full-cast branch — paying capacity
+                                # to cover them measures slower overall
     pairs_chunk: int = 262144   # rays per cast in pairs mode (the culling
                                 # bitmask costs ceil(n_tiles/32) * (R/subg)
                                 # * 4 bytes of SMEM — 512 KB at defaults;
