@@ -129,14 +129,30 @@ def cast_breakdown(cfg, tables) -> dict:
     out["floor_ms"] = round(
         timed_scan(lambda x: x + 1.0, (jnp.ones((128,)),), 30) * 1e3, 3)
     t_s, _, _ = intersect_spheres(O1, u1, tables.spheres)
-    out["closest_d1_full_ms"] = round(timed_scan(
+    # production path as configured (compact branch when cfg enables it)
+    out["closest_d1_cast_ms"] = round(timed_scan(
         lambda O, u: wf.intersect_all(tables, cfg, O, u).t, (O1, u1), 30
     ) * 1e3, 3)
-    out["shadow_d1_full_ms"] = round(timed_scan(
+    out["shadow_d1_cast_ms"] = round(timed_scan(
         lambda O, u: wf.occlusion_distance(
             tables, cfg, O, u, Vec3(shu.x * shcap, shu.y * shcap,
                                     shu.z * shcap), active=sh_active),
         (shO, shu), 30) * 1e3, 3)
+    if cfg.pairs_compact:
+        # the same casts at full width (the r2 form) — the compaction win
+        # and its overhead are both visible in cast-vs-fullwidth deltas
+        import dataclasses
+
+        cfg_fw = dataclasses.replace(cfg, pairs_compact=0.0)
+        out["closest_d1_fullwidth_ms"] = round(timed_scan(
+            lambda O, u: wf.intersect_all(tables, cfg_fw, O, u).t,
+            (O1, u1), 30) * 1e3, 3)
+        out["shadow_d1_fullwidth_ms"] = round(timed_scan(
+            lambda O, u: wf.occlusion_distance(
+                tables, cfg_fw, O, u, Vec3(shu.x * shcap, shu.y * shcap,
+                                           shu.z * shcap),
+                active=sh_active),
+            (shO, shu), 30) * 1e3, 3)
     if tables.pairs_mesh is not None and cfg.traversal == "pairs":
         tab = tables.pairs_mesh
         nc = tab.tile_aabb.shape[0]
@@ -163,6 +179,46 @@ def cast_breakdown(cfg, tables) -> dict:
         out["closest_d1_pairs"] = int(sum(
             int(bin(int(w) & 0xFFFFFFFF).count("1"))
             for w in np.asarray(bits).reshape(-1)))
+        C = pt._compact_ok(cfg.pairs_compact, nc, O2.x.shape[0], blk)
+        if C:
+            # itemized compact-branch primitives on THIS real wavefront
+            # (floor_ms applies to each) — where the compacted cast's
+            # time goes: key slab+pack, the int32 sort, the (16,R)->(16,C)
+            # row-form source move, the kernel at C, the scatter-back
+            skey, n_act, shift = jax.block_until_ready(pt._compact_key(
+                O2, u2, tab.tile_aabb, nc, cap2, None, O2.x.shape[0]))
+            out["compact_n_act"] = int(n_act)
+            out["compact_C"] = C
+            out["compact_key_ms"] = round(timed_scan(
+                lambda O, u: pt._compact_key(
+                    O, u, tab.tile_aabb, nc, cap2, None,
+                    O.x.shape[0])[0],
+                (O2, u2), 30) * 1e3, 3)
+            out["compact_sort_ms"] = round(timed_scan(
+                lambda k: pt._compact_sort(k, C, shift), (skey,),
+                30) * 1e3, 3)
+            src = jax.block_until_ready(pt._compact_sort(skey, C, shift))
+            out["compact_take_ms"] = round(timed_scan(
+                lambda r, s: jnp.take(r, s, axis=1), (rfT, src),
+                30) * 1e3, 3)
+            rfc = jax.block_until_ready(jnp.take(rfT, src, axis=1))
+            Oc = Vec3(rfc[6], rfc[7], rfc[8])
+            uc = Vec3(rfc[0], rfc[1], rfc[2])
+            bits_c = jax.block_until_ready(pt._pair_bits(
+                Oc, uc, tab.tile_aabb, nc, subg, min(blk, C),
+                cap=None, members=pt._members_of(tab)))
+            out["kernel_at_C_ms"] = round(timed_scan(
+                lambda rf, b: pt._pairs_call(
+                    rf, tab.fields, b, float(cfg.eps_leaf), True, subg,
+                    min(blk, C), nc, False, pt.tile_width(tab), 1,
+                    pt.DEF_VPI, pt.DEF_SGW)[0],
+                (rfc, bits_c), 30) * 1e3, 3)
+            tC = jnp.zeros((C,), jnp.float32)
+            out["compact_scatter1_ms"] = round(timed_scan(
+                lambda t, s: jnp.full(
+                    (O2.x.shape[0],), np.float32(np.inf),
+                    jnp.float32).at[s].set(t),
+                (tC, src), 30) * 1e3, 3)
     return out
 
 

@@ -144,6 +144,15 @@ def main() -> None:
     probe("take_minor_16xR", lambda s, r: jnp.take(r, s, axis=1), src, rfT)
     probe("transpose_16xR", lambda r: r.T + 0.0, rfT)
 
+    # co-sort the feature rows as lax.sort OPERANDS (one fused
+    # sort-and-permute instead of sort + take — if the permutation
+    # application inside sort beats the standalone gather, the compact
+    # source should ride the sort)
+    probe("sort_9operands", lambda k, Ox, Oy, Oz, ux, uy, uz, cp:
+          tuple(v[:C] for v in jax.lax.sort(
+              [k, Ox, Oy, Oz, ux, uy, uz, cp], num_keys=1)),
+          skey, O1.x, O1.y, O1.z, u1.x, u1.y, u1.z, t_cap)
+
     # --- scatter-back of kernel outputs at C ---
     tC = jnp.ones((C,), jnp.float32)
     probe("scatter_back_x1", lambda s, t: jnp.full(

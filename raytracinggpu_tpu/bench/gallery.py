@@ -166,6 +166,13 @@ ABLATION_MODES = {
         "pairs_compact": 0.0, "pairs_subgroup": 16},
     "pairs_blk1024": {"pairs_block": 1024},
     "pairs_blk8192": {"pairs_block": 8192},
+    # cast-size axis: compaction's linear overheads (key/sort/take/scatter)
+    # don't amortize with cast size, but per-cast op floors and kernel
+    # ramp do; bigger casts also raise the transient HBM of the coarse
+    # key slabs ((nc, R)) — ADVICE r2 flagged the near-ceiling case
+    "pairs_chunk512k": {"pairs_chunk": 524288},
+    "pairs_chunk1M": {"pairs_chunk": 1048576},
+    "pairs_chunk64k": {"pairs_chunk": 65536},
     "pallas_tiled_s64": {"traversal": "pallas"},
     "pallas_s32": {"traversal": "pallas", "pallas_subgroup": 32},
     "pallas_raysort": {"traversal": "pallas", "ray_sort": True},
