@@ -134,9 +134,10 @@ def realtime_rows(quick=False):
 # the runtime's execution deadline kills the TPU worker ("kernel fault").
 # It is therefore measured at a reduced size, flagged in its row.
 ABLATION_MODES = {
-    # production default (r3): grouped activity compaction frac=1/8,
-    # subgroup 32, morton tiles, subgroup-major walk, vpi=2
-    "pairs_default(compact_f125_s32)": {},
+    # production default (r3): grouped activity compaction frac=3/32,
+    # subgroup 32, 512k-ray chunks, morton tiles, subgroup-major walk,
+    # vpi=2
+    "pairs_default(compact_f09375_s32_c512k)": {},
     # compaction axis: off = the r2 form (every subgroup pays the union
     # divergence, ~14x at d>=2); the fraction sweep trades per-cast
     # capacity against full-cast fallbacks (d0 closest/shadow run
@@ -145,8 +146,14 @@ ABLATION_MODES = {
     "pairs_nocompact_s16": {"pairs_compact": 0.0, "pairs_subgroup": 16},
     "pairs_nocompact_s32": {"pairs_compact": 0.0},
     "pairs_compact_f0625": {"pairs_compact": 0.0625},
+    "pairs_compact_f125": {"pairs_compact": 0.125},
     "pairs_compact_f15625": {"pairs_compact": 0.15625},
     "pairs_compact_f25": {"pairs_compact": 0.25},
+    # capacity ladder (r3, measured net-negative as a default: headline
+    # 138.7 vs 144.8, realtime -9%; only config-5 gains ~2% — the wide
+    # tier's sort+take at 2x capacity costs more than the d0/d1 kernel
+    # shrink saves)
+    "pairs_ladder_f125_f25": {"pairs_compact2": 0.25},
     # post-grouping subgroup sweep: compaction groups rays by active-tile
     # span, so doubling the union scope no longer doubles the union — the
     # CPU pair counts invert (s16 28460 / s32 15324 / s64 8578,
@@ -170,7 +177,7 @@ ABLATION_MODES = {
     # don't amortize with cast size, but per-cast op floors and kernel
     # ramp do; bigger casts also raise the transient HBM of the coarse
     # key slabs ((nc, R)) — ADVICE r2 flagged the near-ceiling case
-    "pairs_chunk512k": {"pairs_chunk": 524288},
+    "pairs_chunk262k": {"pairs_chunk": 262144},
     "pairs_chunk1M": {"pairs_chunk": 1048576},
     "pairs_chunk64k": {"pairs_chunk": 65536},
     "pallas_tiled_s64": {"traversal": "pallas"},

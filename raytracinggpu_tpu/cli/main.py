@@ -58,6 +58,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "only ~FRAC of rays (active ones packed + grouped "
                         "by first tile); exact — overflow falls back to "
                         "the full cast")
+    p.add_argument("--compact2", type=float, default=None, metavar="FRAC",
+                   help="second-tier compact capacity (the ladder): casts "
+                        "too active for --compact still pack at this "
+                        "fraction before falling back to full width")
     p.add_argument("--bvh-builder", default="reference",
                    choices=["reference", "lbvh"],
                    help="acceleration-structure builder")
@@ -85,6 +89,8 @@ def _build(args):
             over["pairs_cut"] = 32
     if getattr(args, "compact", None) is not None:
         over["pairs_compact"] = args.compact
+    if getattr(args, "compact2", None) is not None:
+        over["pairs_compact2"] = args.compact2
 
     mesh = None
     builder = getattr(args, "bvh_builder", "reference")

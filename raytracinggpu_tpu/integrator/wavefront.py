@@ -140,7 +140,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
                 interpret=interpret, subg=cfg.pairs_subgroup,
                 blk=cfg.pairs_block, sgw=cfg.pairs_sgw,
                 payload="smooth" if cfg.smooth_normals else "geom",
-                compact=cfg.pairs_compact,
+                compact=cfg.pairs_compact, compact2=cfg.pairs_compact2,
             )
         elif traversal == "bvh":
             from raytracinggpu_tpu.ops.bvh_traverse import intersect_tris_bvh
@@ -223,7 +223,7 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3,
             O, u, scene.pairs_mesh, cfg.eps_leaf,
             cap=cap, interpret=interpret, subg=cfg.pairs_subgroup,
             blk=cfg.pairs_block, active=active, sgw=cfg.pairs_sgw,
-            compact=cfg.pairs_compact,
+            compact=cfg.pairs_compact, compact2=cfg.pairs_compact2,
         )
         return jnp.minimum(t_sph, t_mesh)
     sh = intersect_all(scene, cfg, O, u)

@@ -972,6 +972,31 @@ def _compact_src(O, u, aabb, nc, cap, active, C, valid_n):
     return _compact_sort(skey, C, shift), n_act
 
 
+def _compact_sorted_rows(skey, C, shift, O, u, extra=()):
+    """Sort + source move in ONE ``lax.sort`` — kept as a measured
+    NEGATIVE result (not used by the production path).  In isolation it
+    wins (bench/compact_micro.py, 262k rays: key-only sort 1.14 ms +
+    minor take 1.82 ms vs 9-operand sort 1.55 ms, and the (16, R) row
+    stack is never built), but END-TO-END the headline dropped 146 ->
+    119 Mray/s: the separate sort and take overlap with the coarse-bits
+    compute and neighboring casts, while one fat multi-operand sort
+    serializes the critical path.  skey's low ``shift`` bits are the
+    lane id, so the sorted key column doubles as the scatter-back
+    indices.
+
+    Returns (src, rfC): the C source lanes and the (16, C) kernel
+    feature block with rows [u(3), w=OxU(3), O(3), extra..., 0-pad]."""
+    w = O.cross(u)
+    rows = [u.x, u.y, u.z, w.x, w.y, w.z, O.x, O.y, O.z, *extra]
+    assert len(rows) <= NUM_RF_ROWS
+    srt = jax.lax.sort([skey, *rows], num_keys=1)
+    src = srt[0][:C] & np.int32((1 << shift) - 1)
+    cut = [r[:C] for r in srt[1:]]
+    z = jnp.zeros((C,), jnp.float32)
+    rfC = jnp.stack(cut + [z] * (NUM_RF_ROWS - len(cut)), axis=0)
+    return src, rfC
+
+
 def _compact_ok(compact: float, nc: int, R: int, blk: int) -> int:
     """Compact capacity C (rounded up to whole blocks), or 0 when
     compaction is off / inapplicable (key+lane must share an int32 —
@@ -1048,6 +1073,7 @@ def intersect_tris_pairs(
     vpi: int = DEF_VPI,
     sgw: int = DEF_SGW,
     compact: float = 0.0,
+    compact2: float = 0.0,
 ):
     """Closest hit over the cluster-tiled mesh.  Returns TriHit with the
     ORIGINAL (BVH-order) triangle index — drop-in compatible with the
@@ -1091,35 +1117,48 @@ def intersect_tris_pairs(
 
     Rp = O.x.shape[0]
     C = _compact_ok(compact, nc, Rp, blk)
+    C2 = _compact_ok(compact2, nc, Rp, blk) if compact2 > compact else 0
+    if C2 <= C:
+        C2 = 0
     if C:
         skey, n_act, shift = _compact_key(O, u, tab.tile_aabb, nc, cap,
                                           None, R)
         n_out = 5 if pcode else 2
 
-        def path_compact(_):
-            src = _compact_sort(skey, C, shift)
-            # ONE minor-axis take moves every per-ray quantity: the seven
-            # flat (R,)->(C,) gathers cost ~5 ms per 262k cast while the
-            # (16, R)->(16, C) row-form take costs ~1 ms (measured,
-            # bench/compact_micro.py); O/u/cap come back as free
-            # full-width row slices.
-            rfT = _ray_feature_rows(
-                O, u, () if cap is None else (cap,))
-            rf = jnp.take(rfT, src, axis=1)
-            Oc = Vec3(rf[6], rf[7], rf[8])
-            uc = Vec3(rf[0], rf[1], rf[2])
-            out_s = cast_rows(rf, Oc, uc,
-                              None if cap is None else rf[9])
-            # no-hit defaults (the exact kernel output for rays with no
-            # active tiles): t=INF, idx=0, N=(0,0,0)
-            defaults = [jnp.full((Rp,), INF, jnp.float32),
-                        jnp.zeros((Rp,), jnp.int32)] + [
-                jnp.zeros((Rp,), jnp.float32)] * (n_out - 2)
-            return tuple(defaults[i].at[src].set(out_s[i])
-                         for i in range(n_out))
+        def path_compact(Ccap):
+            # ONE minor-axis take moves every per-ray quantity (cap rides
+            # as feature row 9): measured 3.1x cheaper than seven flat
+            # gathers (bench/compact_micro.py).  The seemingly-better
+            # fused form (_compact_sorted_rows: feature rows as sort
+            # operands) measured FASTER in isolation but 19% slower
+            # end-to-end — the separate sort/take overlap with the bits
+            # compute; one fat sort serializes the critical path.
+            def path(_):
+                src = _compact_sort(skey, Ccap, shift)
+                rfT = _ray_feature_rows(
+                    O, u, () if cap is None else (cap,))
+                rf = jnp.take(rfT, src, axis=1)
+                Oc = Vec3(rf[6], rf[7], rf[8])
+                uc = Vec3(rf[0], rf[1], rf[2])
+                out_s = cast_rows(rf, Oc, uc,
+                                  None if cap is None else rf[9])
+                # no-hit defaults (the exact kernel output for rays with
+                # no active tiles): t=INF, idx=0, N=(0,0,0)
+                defaults = [jnp.full((Rp,), INF, jnp.float32),
+                            jnp.zeros((Rp,), jnp.int32)] + [
+                    jnp.zeros((Rp,), jnp.float32)] * (n_out - 2)
+                return tuple(defaults[i].at[src].set(out_s[i])
+                             for i in range(n_out))
 
-        out = jax.lax.cond(n_act <= C, path_compact,
-                           lambda _: tuple(cast(O, u, cap))[:n_out], None)
+            return path
+
+        path_full = lambda _: tuple(cast(O, u, cap))[:n_out]
+        # capacity ladder: tight tier (deep casts) -> wide tier (the
+        # 11.5-14%-active d0/d1 casts) -> full width, one nested cond
+        tail = (path_full if not C2 else
+                lambda _: jax.lax.cond(
+                    n_act <= C2, path_compact(C2), path_full, None))
+        out = jax.lax.cond(n_act <= C, path_compact(C), tail, None)
     else:
         out = cast(O, u, cap)
     if pad:
@@ -1145,6 +1184,7 @@ def intersect_tris_pairs_shadow(
     vpi: int = DEF_VPI,
     sgw: int = DEF_SGW,
     compact: float = 0.0,
+    compact2: float = 0.0,
 ):
     """Nearest mesh hit distance only (occlusion query; the reference's
     shadow test needs any hit with t^2 <= |L-P|^2,
@@ -1182,30 +1222,40 @@ def intersect_tris_pairs_shadow(
 
     Rp = O.x.shape[0]
     C = _compact_ok(compact, nc, Rp, blk)
+    C2 = _compact_ok(compact2, nc, Rp, blk) if compact2 > compact else 0
+    if C2 <= C:
+        C2 = 0
     if C:
         skey, n_act, shift = _compact_key(O, u, tab.tile_aabb, nc, cap,
                                           active, R)
 
-        def path_compact(_):
-            src = _compact_sort(skey, C, shift)
+        def path_compact(Ccap):
             # Row-form source move (see intersect_tris_pairs): cap rides
             # as feature row 9, the shadow relevance mask as row 10, so
             # the whole per-ray state crosses in ONE (16, R)->(16, C)
-            # take instead of six flat gathers.
-            extra = (jnp.zeros_like(O.x) if cap is None else cap,)
-            if active is not None:
-                extra += (active.astype(jnp.float32),)
-            rfT = _ray_feature_rows(O, u, extra)
-            rf = jnp.take(rfT, src, axis=1)
-            Oc = Vec3(rf[6], rf[7], rf[8])
-            uc = Vec3(rf[0], rf[1], rf[2])
-            t_s = cast_rows(rf, Oc, uc,
-                            None if cap is None else rf[9],
-                            None if active is None else rf[10] > 0.5)
-            return jnp.full((Rp,), INF, jnp.float32).at[src].set(t_s)
+            # take instead of six flat gathers.  (The fused sort-operand
+            # form measured slower end-to-end — see the closest path.)
+            def path(_):
+                extra = (jnp.zeros_like(O.x) if cap is None else cap,)
+                if active is not None:
+                    extra += (active.astype(jnp.float32),)
+                src = _compact_sort(skey, Ccap, shift)
+                rfT = _ray_feature_rows(O, u, extra)
+                rf = jnp.take(rfT, src, axis=1)
+                Oc = Vec3(rf[6], rf[7], rf[8])
+                uc = Vec3(rf[0], rf[1], rf[2])
+                t_s = cast_rows(rf, Oc, uc,
+                                None if cap is None else rf[9],
+                                None if active is None else rf[10] > 0.5)
+                return jnp.full((Rp,), INF, jnp.float32).at[src].set(t_s)
 
-        t = jax.lax.cond(n_act <= C, path_compact,
-                         lambda _: cast(O, u, cap, active), None)
+            return path
+
+        path_full = lambda _: cast(O, u, cap, active)
+        tail = (path_full if not C2 else
+                lambda _: jax.lax.cond(
+                    n_act <= C2, path_compact(C2), path_full, None))
+        t = jax.lax.cond(n_act <= C, path_compact(C), tail, None)
     else:
         t = cast(O, u, cap, active)
     return t[:R] if pad else t

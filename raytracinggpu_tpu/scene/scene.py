@@ -139,29 +139,51 @@ class RenderConfig:
                                 # chunks at 100% occupancy (merging tiles
                                 # only clears activation bits, so paving
                                 # minimizes pair count for a given order)
-    pairs_compact: float = 0.125  # grouped activity compaction: cast only
-                                # ~this fraction of rays per mesh cast,
-                                # packing rays with any active tile densely
-                                # and grouped by first tile (one int32
-                                # lax.sort).  At depth >= 1 only ~4-13% of
-                                # rays touch the mesh but union divergence
-                                # makes every subgroup pay (~14x at d>=2,
-                                # PERF_NOTES.md) — the TPU form of the
-                                # reference's free per-thread early-out.
-                                # Exact for any scene (lax.cond falls back
-                                # to the full cast on overflow); 0 = off.
-                                # 0.125 is the measured optimum on the
-                                # headline mix: the high-activity d0 casts
-                                # (11.5/13.3%) deliberately overflow into
-                                # the full-cast branch — paying capacity
-                                # to cover them measures slower overall
-    pairs_chunk: int = 262144   # rays per cast in pairs mode (the culling
+    pairs_compact: float = 0.09375  # grouped activity compaction: cast
+                                # only ~this fraction of rays per mesh
+                                # cast, packing rays with any active tile
+                                # densely and grouped by first tile (one
+                                # int32 lax.sort).  At depth >= 1 only
+                                # ~4-13% of rays touch the mesh but union
+                                # divergence makes every subgroup pay
+                                # (~14x at d>=2, PERF_NOTES.md) — the TPU
+                                # form of the reference's free per-thread
+                                # early-out.  Exact for any scene
+                                # (lax.cond falls back on overflow);
+                                # 0 = off.  3/32 is the measured optimum
+                                # at 512k chunks (headline 153.0 vs 146.0
+                                # at f125, config-5 185.4 vs 167.6; f0625
+                                # overflows too many casts, 99.4); casts
+                                # that overflow fall to the
+                                # pairs_compact2 tier, then to full width
+    pairs_compact2: float = 0.0  # second-tier compact capacity (the
+                                # ladder): casts too active for the tight
+                                # tier — the d0/d1 closest+shadow casts
+                                # run 11.5-14% active — still compact at
+                                # this fraction instead of paying the
+                                # full-width kernel.  Must exceed
+                                # pairs_compact to engage; 0 disables the
+                                # second tier.  Exactness is unchanged
+                                # (nested lax.cond, same overflow rule).
+                                # MEASURED NET-NEGATIVE as a default
+                                # (f25 tier: headline 138.7 vs 144.8,
+                                # realtime 800x600 spp1/d2 38.8 vs
+                                # 35.2 ms; only config-5 gains ~2%) —
+                                # the wide tier's sort+take at 2x
+                                # capacity costs more than the d0/d1
+                                # kernel shrink saves; kept as an
+                                # opt-in ablation axis
+    pairs_chunk: int = 524288   # rays per cast in pairs mode (the culling
                                 # bitmask costs ceil(n_tiles/32) * (R/subg)
-                                # * 4 bytes of SMEM — 512 KB at defaults;
-                                # trace_chunked shrinks casts for meshes
-                                # past 255 tiles — so casts can be larger
-                                # than the pallas
-                                # mode's 2^17 SMEM-bounded chunks)
+                                # * 4 bytes of SMEM; trace_chunked shrinks
+                                # casts for meshes past the SMEM budget).
+                                # 512k is the measured optimum on the
+                                # headline mix (145.9 vs 125.5 at 262k,
+                                # 137 at 64k/1M): bigger casts average the
+                                # per-chunk activity so more casts fit the
+                                # f125 compact capacity (d1 closest at 13%
+                                # overflows a 262k chunk's C), and the
+                                # per-cast op floors amortize
     bvh_node_layout: str = "soa"  # node layout for traversal mode 'bvh':
                                 # per-field SoA columns vs the reference's
                                 # 10-float AoS record row-gathered per step

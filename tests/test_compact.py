@@ -149,6 +149,10 @@ def test_render_parity_with_overflow(mesh):
         "base": {},
         "cmp25": dict(pairs_compact=0.25),
         "cmp_overflow": dict(pairs_compact=0.02),
+        # capacity ladder: tight tier overflows, wide tier catches the
+        # d0 casts; second variant overflows BOTH tiers (full fallback)
+        "ladder": dict(pairs_compact=0.02, pairs_compact2=0.25),
+        "ladder_overflow": dict(pairs_compact=0.02, pairs_compact2=0.04),
         "sah_pave_cmp": dict(pairs_cluster="sah", pairs_pack="pave",
                              pairs_cut=32, pairs_compact=0.25),
     }.items():
