@@ -134,26 +134,24 @@ def realtime_rows(quick=False):
 # the runtime's execution deadline kills the TPU worker ("kernel fault").
 # It is therefore measured at a reduced size, flagged in its row.
 ABLATION_MODES = {
-    # production default (r3): grouped activity compaction frac=3/32,
-    # subgroup 32, 512k-ray chunks, morton tiles, subgroup-major walk,
-    # vpi=2
-    "pairs_default(compact_f09375_s32_c512k)": {},
+    # production default (r3): grouped activity compaction two-tier
+    # ladder (5/64 -> 17/128), subgroup 32, 512k-ray chunks, morton
+    # tiles, subgroup-major walk, vpi=2
+    "pairs_default(ladder_f078_f133_s32_c512k)": {},
     # compaction axis: off = the r2 form (every subgroup pays the union
-    # divergence, ~14x at d>=2); the fraction sweep trades per-cast
-    # capacity against full-cast fallbacks (d0 closest/shadow run
-    # 11.5/13.3% active on the headline mix, so f125 deliberately leaves
-    # them on the full-cast branch — covering them measures slower)
-    "pairs_nocompact_s16": {"pairs_compact": 0.0, "pairs_subgroup": 16},
-    "pairs_nocompact_s32": {"pairs_compact": 0.0},
-    "pairs_compact_f0625": {"pairs_compact": 0.0625},
-    "pairs_compact_f125": {"pairs_compact": 0.125},
-    "pairs_compact_f15625": {"pairs_compact": 0.15625},
-    "pairs_compact_f25": {"pairs_compact": 0.25},
-    # capacity ladder (r3, measured net-negative as a default: headline
-    # 138.7 vs 144.8, realtime -9%; only config-5 gains ~2% — the wide
-    # tier's sort+take at 2x capacity costs more than the d0/d1 kernel
-    # shrink saves)
-    "pairs_ladder_f125_f25": {"pairs_compact2": 0.25},
+    # divergence, ~14x at d>=2); single-tier rows (compact2=0) sweep the
+    # capacity/fallback trade; the ladder rows sweep the second tier —
+    # TIER WIDTH decides the sign (17/128 rides ~2% above the d1 cast's
+    # activity and wins +13%; 1/4 pays 2.7x tier-1 sort/take and loses)
+    "pairs_nocompact_s16": {"pairs_compact": 0.0, "pairs_compact2": 0.0,
+                            "pairs_subgroup": 16},
+    "pairs_nocompact_s32": {"pairs_compact": 0.0, "pairs_compact2": 0.0},
+    "pairs_single_f0625": {"pairs_compact": 0.0625, "pairs_compact2": 0.0},
+    "pairs_single_f09375": {"pairs_compact": 0.09375, "pairs_compact2": 0.0},
+    "pairs_single_f125": {"pairs_compact": 0.125, "pairs_compact2": 0.0},
+    "pairs_single_f15625": {"pairs_compact": 0.15625, "pairs_compact2": 0.0},
+    "pairs_ladder_wide_f125_f25": {"pairs_compact": 0.125,
+                                   "pairs_compact2": 0.25},
     # post-grouping subgroup sweep: compaction groups rays by active-tile
     # span, so doubling the union scope no longer doubles the union — the
     # CPU pair counts invert (s16 28460 / s32 15324 / s64 8578,

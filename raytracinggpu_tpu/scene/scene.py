@@ -139,7 +139,7 @@ class RenderConfig:
                                 # chunks at 100% occupancy (merging tiles
                                 # only clears activation bits, so paving
                                 # minimizes pair count for a given order)
-    pairs_compact: float = 0.09375  # grouped activity compaction: cast
+    pairs_compact: float = 0.078125  # grouped activity compaction: cast
                                 # only ~this fraction of rays per mesh
                                 # cast, packing rays with any active tile
                                 # densely and grouped by first tile (one
@@ -150,29 +150,33 @@ class RenderConfig:
                                 # form of the reference's free per-thread
                                 # early-out.  Exact for any scene
                                 # (lax.cond falls back on overflow);
-                                # 0 = off.  3/32 is the measured optimum
-                                # at 512k chunks (headline 153.0 vs 146.0
-                                # at f125, config-5 185.4 vs 167.6; f0625
-                                # overflows too many casts, 99.4); casts
-                                # that overflow fall to the
-                                # pairs_compact2 tier, then to full width
-    pairs_compact2: float = 0.0  # second-tier compact capacity (the
-                                # ladder): casts too active for the tight
-                                # tier — the d0/d1 closest+shadow casts
-                                # run 11.5-14% active — still compact at
-                                # this fraction instead of paying the
-                                # full-width kernel.  Must exceed
-                                # pairs_compact to engage; 0 disables the
-                                # second tier.  Exactness is unchanged
-                                # (nested lax.cond, same overflow rule).
-                                # MEASURED NET-NEGATIVE as a default
-                                # (f25 tier: headline 138.7 vs 144.8,
-                                # realtime 800x600 spp1/d2 38.8 vs
-                                # 35.2 ms; only config-5 gains ~2%) —
-                                # the wide tier's sort+take at 2x
-                                # capacity costs more than the d0/d1
-                                # kernel shrink saves; kept as an
-                                # opt-in ablation axis
+                                # 0 = off.  5/64 is the measured tier-1
+                                # optimum at 512k chunks under the
+                                # two-tier ladder (173.4 Mray/s; the
+                                # deep casts run 4-8% active); casts that
+                                # overflow fall to the pairs_compact2
+                                # tier, then to full width
+    pairs_compact2: float = 0.1328125  # second-tier compact capacity
+                                # (the ladder): casts too active for the
+                                # tight tier — the d1 closest+shadow
+                                # casts run 11.5-14% active — still
+                                # compact at this fraction instead of
+                                # paying the full-width kernel.  Must
+                                # exceed pairs_compact to engage; 0
+                                # disables the second tier.  Exactness
+                                # is unchanged (nested lax.cond, same
+                                # overflow rule).  TIER WIDTH IS THE
+                                # WHOLE GAME: c2=0.25 measured -4%
+                                # headline (sort+take at 2.7x tier-1
+                                # capacity cost more than the kernel
+                                # shrink saved) while 17/128 — riding
+                                # ~2% above the d1 cast's activity —
+                                # measures +13% (153.8 -> 174.2 with the
+                                # tier-1 re-tune; realtime/config-5
+                                # neutral).  A cast past BOTH tiers
+                                # falls to full width, so a scene whose
+                                # activity tops the tier loses speed,
+                                # never correctness
     pairs_chunk: int = 524288   # rays per cast in pairs mode (the culling
                                 # bitmask costs ceil(n_tiles/32) * (R/subg)
                                 # * 4 bytes of SMEM; trace_chunked shrinks
