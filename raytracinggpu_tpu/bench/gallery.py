@@ -135,9 +135,13 @@ def realtime_rows(quick=False):
 # It is therefore measured at a reduced size, flagged in its row.
 ABLATION_MODES = {
     # production default (r3): grouped activity compaction two-tier
-    # ladder (5/64 -> 17/128), subgroup 32, 512k-ray chunks, morton
-    # tiles, subgroup-major walk, vpi=2
-    "pairs_default(ladder_f078_f133_s32_c512k)": {},
+    # ladder (5/64 -> 17/128), subgroup 64, fully-unrolled depth scan,
+    # 512k-ray chunks, morton tiles, subgroup-major walk, vpi=2
+    "pairs_default(ladder_f078_f133_s64_u8_c512k)": {},
+    # depth-scan axis (r3): the rolled scan's back-edge is a sequential
+    # barrier — shadow(d) and closest(d+1) are data-independent but
+    # cannot pipeline across it; unrolling is worth ~+8.5% headline
+    "depth_scan_rolled": {"depth_unroll": 1},
     # compaction axis: off = the r2 form (every subgroup pays the union
     # divergence, ~14x at d>=2); single-tier rows (compact2=0) sweep the
     # capacity/fallback trade; the ladder rows sweep the second tier —
@@ -145,7 +149,7 @@ ABLATION_MODES = {
     # activity and wins +13%; 1/4 pays 2.7x tier-1 sort/take and loses)
     "pairs_nocompact_s16": {"pairs_compact": 0.0, "pairs_compact2": 0.0,
                             "pairs_subgroup": 16},
-    "pairs_nocompact_s32": {"pairs_compact": 0.0, "pairs_compact2": 0.0},
+    "pairs_nocompact_s64": {"pairs_compact": 0.0, "pairs_compact2": 0.0},
     "pairs_single_f0625": {"pairs_compact": 0.0625, "pairs_compact2": 0.0},
     "pairs_single_f09375": {"pairs_compact": 0.09375, "pairs_compact2": 0.0},
     "pairs_single_f125": {"pairs_compact": 0.125, "pairs_compact2": 0.0},
@@ -154,12 +158,14 @@ ABLATION_MODES = {
                                    "pairs_compact2": 0.25},
     # post-grouping subgroup sweep: compaction groups rays by active-tile
     # span, so doubling the union scope no longer doubles the union — the
-    # CPU pair counts invert (s16 28460 / s32 15324 / s64 8578,
-    # PERF_NOTES.md) and s32 wins on TPU (the serial per-visit floor
-    # amortizes; past s32 the vreg pressure of the hoisted (subg, 128)
-    # broadcasts takes over)
+    # CPU pair counts invert (s16 28460 / s32 15324 / s64 8578 / s128
+    # 5055, PERF_NOTES.md) and the TPU optimum keeps moving up as the
+    # grouping improves (s32 at the single-tier point, s64 under the
+    # ladder + unrolled scan); s128 reverses (vreg pressure of the
+    # hoisted (subg, 128) broadcasts)
     "pairs_compact_s16": {"pairs_subgroup": 16},
-    "pairs_compact_s64": {"pairs_subgroup": 64},
+    "pairs_compact_s32": {"pairs_subgroup": 32},
+    "pairs_compact_s128": {"pairs_subgroup": 128},
     # clustering axis (r3): cluster tree (reference midpoint vs binned
     # SAH), tile packing (morton first-fit vs full-occupancy pave), and
     # member-box granularity — bit-identical perf levers (test_clustering).

@@ -358,7 +358,8 @@ def trace(
     # reference's medium-tracking Ray {O, u, refraction_index}
     # (global_launcher.cu:93-99); primary rays start in medium 1.0.
     _, (types, directs, albedos, counts) = jax.lax.scan(
-        depth_step, RayBatch.make(O, u), uniforms
+        depth_step, RayBatch.make(O, u), uniforms,
+        unroll=max(1, min(int(cfg.depth_unroll), uniforms.shape[0])),
     )
 
     # ---- backward composite (global_launcher.cu:830-838) ----

@@ -12,7 +12,8 @@ as the reference's addObject ordering).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+import os
+from dataclasses import dataclass, field
 from typing import Any, NamedTuple
 
 import jax
@@ -103,14 +104,20 @@ class RenderConfig:
     pallas_subgroup: int = 64   # rays per culling subgroup in the pallas
                                 # kernel (32/64/128 — union-vs-overhead
                                 # ablation axis, see ops/pallas_trace.SUBG)
-    pairs_subgroup: int = 32    # rays per culling subgroup in the pairs
-                                # kernel (8-64).  WITHOUT compaction unions
-                                # tighten as it shrinks and s16 wins; WITH
-                                # the default grouped compaction neighbors
-                                # are coherent, the union no longer doubles
-                                # with scope, and s32 measures fastest
-                                # (125.1 vs 116-118 Mray/s on the headline
-                                # mix — PERF_NOTES.md, ops/pairs_trace.py)
+    pairs_subgroup: int = 64    # rays per culling subgroup in the pairs
+                                # kernel (8-128).  WITHOUT compaction
+                                # unions tighten as it shrinks and s16
+                                # wins; WITH the default grouped
+                                # compaction neighbors are coherent, the
+                                # union no longer doubles with scope, and
+                                # the optimum keeps moving up as grouping
+                                # improves: s32 won at the single-tier
+                                # point (125.1), s64 wins under the
+                                # two-tier ladder + unrolled depth scan
+                                # (188.8 vs 185.2 Mray/s headline; also
+                                # fastest on both realtime rows); s128
+                                # reverses (184.7, vreg pressure of the
+                                # hoisted broadcasts) — PERF_NOTES.md
     pairs_block: int = 4096     # rays per pairs-kernel program
     pairs_sgw: int = 1          # pairs-kernel walk order: 1 subgroup-major
                                 # (ray-feature broadcasts hoist once per
@@ -199,6 +206,31 @@ class RenderConfig:
                                 # 73 — build_scene_tables warns when a mesh
                                 # exceeds this; the lbvh builder's leaves
                                 # are < 5 triangles by construction)
+    depth_unroll: int = field(
+        default_factory=lambda: int(os.environ.get("RT_DEPTH_UNROLL", "8")))
+                                # lax.scan unroll factor for the depth
+                                # loop (integrator/wavefront.trace),
+                                # clamped to max_depth.  The scan
+                                # back-edge is a sequential barrier:
+                                # shadow(d) and closest(d+1) are data-
+                                # independent but cannot pipeline across
+                                # it; unrolling hands XLA the whole depth
+                                # program so neighboring casts' glue ops
+                                # (compaction key/sort/take/scatter)
+                                # overlap the pairs kernel.  Measured
+                                # +8.5% headline (170.7 -> 185.2 Mray/s
+                                # at unroll=5; unroll=3 captures nearly
+                                # all of it), -7% config-5 frame time.
+                                # Trade: compile time grows with the
+                                # unrolled body; 8 covers every standard
+                                # workload depth while keeping the d10
+                                # sweep cells bounded.  RT_DEPTH_UNROLL
+                                # overrides the default (perf-only knob,
+                                # results are bit-identical by
+                                # construction — tests pin it to 1 so
+                                # the CPU suite's hundreds of compiles
+                                # stay fast; test_wavefront asserts the
+                                # unrolled path's equivalence)
     mxu_precision: str = "highest"  # highest | default (bf16 fast path)
     animate_mesh: bool = False  # realtime loop: spin the mesh via the jitted
                                 # pose transform (scene/transform.py) — the

@@ -8,6 +8,12 @@ below must run before any JAX backend initializes.
 """
 import os
 
+# Perf-only default: the unrolled depth scan (RenderConfig.depth_unroll)
+# multiplies every traced program's size ~5x — bit-identical results, but
+# it more than doubles the CPU suite's compile-dominated runtime.  Pin it
+# to 1 here; tests/test_wavefront.py covers the unrolled path explicitly.
+os.environ.setdefault("RT_DEPTH_UNROLL", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

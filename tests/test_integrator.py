@@ -115,3 +115,26 @@ def test_trace_with_cat_mesh_matches_oracle(rng, cat_mesh_raw):
     # A tiny fraction of rays may flip at triangle-edge decision boundaries
     # (different float summation order in the matmul formulation).
     assert frac_bad < 0.02, f"{frac_bad:.3%} rays disagree with oracle"
+
+
+def test_depth_unroll_bitwise_equivalent():
+    """depth_unroll (RenderConfig) is a pure scheduling knob: the unrolled
+    lax.scan must produce bit-identical frames.  The TPU default is 8 (the
+    rolled scan's back-edge barrier costs ~8.5% headline, PERF_NOTES.md);
+    the test conftest pins RT_DEPTH_UNROLL=1 for compile speed, so this is
+    the one place the unrolled path is exercised on CPU."""
+    import dataclasses
+
+    from raytracinggpu_tpu.render.pipeline import render_preset_frame
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    cfg, tables = build_preset(
+        "array_bvh", width=48, height=48, spp=2, max_depth=3,
+        traversal="dense")
+    imgs = []
+    for unroll in (1, 3, 8):
+        c = dataclasses.replace(cfg, depth_unroll=unroll)
+        img, _ = render_preset_frame(tables, c, seed=0)
+        imgs.append(np.asarray(img))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[0], imgs[2])
