@@ -135,13 +135,20 @@ def realtime_rows(quick=False):
 # It is therefore measured at a reduced size, flagged in its row.
 ABLATION_MODES = {
     # production default (r3): grouped activity compaction two-tier
-    # ladder (5/64 -> 17/128), subgroup 64, fully-unrolled depth scan,
-    # 512k-ray chunks, morton tiles, subgroup-major walk, vpi=2
-    "pairs_default(ladder_f078_f133_s64_u8_c512k)": {},
+    # ladder (5/64 -> 17/128), subgroup 64, fully-unrolled depth scan
+    # with the d0-skip compaction policy (mind=1), 512k-ray chunks,
+    # morton tiles, subgroup-major walk, vpi=2
+    "pairs_default(ladder_f078_f133_s64_u8_mind1_c512k)": {},
     # depth-scan axis (r3): the rolled scan's back-edge is a sequential
     # barrier — shadow(d) and closest(d+1) are data-independent but
     # cannot pipeline across it; unrolling is worth ~+8.5% headline
     "depth_scan_rolled": {"depth_unroll": 1},
+    # per-depth policy axis (r3): d0 casts overflow both ladder tiers
+    # (~14-15% active) so they statically skip the compact machinery;
+    # mind0 compacts every depth (the rolled-scan behavior), mind2 also
+    # skips d1 (collapses — d1 compaction is a ~2.6x cast win)
+    "pairs_compact_all_depths": {"pairs_compact_min_depth": 0},
+    "pairs_compact_mind2": {"pairs_compact_min_depth": 2},
     # compaction axis: off = the r2 form (every subgroup pays the union
     # divergence, ~14x at d>=2); single-tier rows (compact2=0) sweep the
     # capacity/fallback trade; the ladder rows sweep the second tier —

@@ -263,7 +263,13 @@ def trace(
     eps = np.float32(cfg.eps_bounce)
     R = O.x.shape[0]
 
-    def depth_step(ray: RayBatch, xs):
+    def make_depth_step(c: RenderConfig):
+        def depth_step(ray: RayBatch, xs):
+            return _depth_step(ray, xs, c)
+
+        return depth_step
+
+    def _depth_step(ray: RayBatch, xs, cfg: RenderConfig):
         O, u, ri = ray
         r1, r2 = xs[0], xs[1]
 
@@ -357,10 +363,37 @@ def trace(
     # The scan carry is the wavefront's RayBatch — the SoA form of the
     # reference's medium-tracking Ray {O, u, refraction_index}
     # (global_launcher.cu:93-99); primary rays start in medium 1.0.
-    _, (types, directs, albedos, counts) = jax.lax.scan(
-        depth_step, RayBatch.make(O, u), uniforms,
-        unroll=max(1, min(int(cfg.depth_unroll), uniforms.shape[0])),
-    )
+    D = uniforms.shape[0]
+    unroll = max(1, min(int(cfg.depth_unroll), D))
+    mind = int(cfg.pairs_compact_min_depth)
+    if (unroll >= D and mind > 0 and cfg.pairs_compact
+            and scene.mesh is not None
+            and _effective_traversal(cfg, scene) == "pairs"):
+        # Fully-unrolled Python depth loop with a PER-DEPTH static
+        # compaction policy: the d0 casts' activity (73k/78k actives per
+        # 512k-chunk on the headline wavefronts) overflows BOTH ladder
+        # tiers, so they always take the full-width fallback — but the
+        # rolled form still pays the compact key build + cond for them
+        # (+0.42/+0.55 ms per 512k cast, .tmp_depth_probe r3).  Depths
+        # below pairs_compact_min_depth statically disable compaction;
+        # results are bit-identical (compaction is exact either way).
+        import dataclasses
+
+        cfg0 = dataclasses.replace(
+            cfg, pairs_compact=0.0, pairs_compact2=0.0)
+        ray = RayBatch.make(O, u)
+        ys = []
+        for d in range(D):
+            ray, y = make_depth_step(cfg0 if d < mind else cfg)(
+                ray, uniforms[d])
+            ys.append(y)
+        types, directs, albedos, counts = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *ys)
+    else:
+        _, (types, directs, albedos, counts) = jax.lax.scan(
+            make_depth_step(cfg), RayBatch.make(O, u), uniforms,
+            unroll=unroll,
+        )
 
     # ---- backward composite (global_launcher.cu:830-838) ----
     def comp_step(ans, xs):

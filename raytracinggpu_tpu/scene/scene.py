@@ -184,6 +184,19 @@ class RenderConfig:
                                 # falls to full width, so a scene whose
                                 # activity tops the tier loses speed,
                                 # never correctness
+    pairs_compact_min_depth: int = 1  # first depth whose casts run the
+                                # compaction machinery, applied only when
+                                # the depth loop is statically unrolled
+                                # (depth_unroll >= max_depth).  The d0
+                                # casts' activity (~14-15% per 512k chunk
+                                # on the headline wavefronts) overflows
+                                # both ladder tiers, so they always fall
+                                # back to full width — yet the rolled
+                                # loop pays their key build + cond
+                                # (+~1 ms per chunk, measured r3).  0
+                                # compacts every depth (the rolled-scan
+                                # behavior); results are bit-identical
+                                # either way (compaction is exact)
     pairs_chunk: int = 524288   # rays per cast in pairs mode (the culling
                                 # bitmask costs ceil(n_tiles/32) * (R/subg)
                                 # * 4 bytes of SMEM; trace_chunked shrinks

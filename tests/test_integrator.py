@@ -138,3 +138,29 @@ def test_depth_unroll_bitwise_equivalent():
         imgs.append(np.asarray(img))
     np.testing.assert_array_equal(imgs[0], imgs[1])
     np.testing.assert_array_equal(imgs[0], imgs[2])
+
+
+def test_compact_min_depth_policy_bitwise_equivalent():
+    """The fully-unrolled pairs path applies a per-depth static compaction
+    policy (pairs_compact_min_depth: d0 casts skip the compact machinery —
+    their activity overflows both ladder tiers so they always fell back to
+    full width anyway).  Policy on/off and the rolled scan must all be
+    bit-identical; compaction is exact by construction."""
+    import dataclasses
+
+    from raytracinggpu_tpu.render.pipeline import render_preset_frame
+    from raytracinggpu_tpu.scene.presets import build_preset
+
+    cfg, tables = build_preset(
+        "array_bvh", width=48, height=48, spp=2, max_depth=3,
+        traversal="pairs")
+    assert cfg.pairs_compact > 0 and cfg.pairs_compact_min_depth == 1
+    imgs = []
+    for over in ({"depth_unroll": 8},                               # policy
+                 {"depth_unroll": 8, "pairs_compact_min_depth": 0},  # all
+                 {"depth_unroll": 1}):                               # scan
+        c = dataclasses.replace(cfg, **over)
+        img, _ = render_preset_frame(tables, c, seed=0)
+        imgs.append(np.asarray(img))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[0], imgs[2])
