@@ -62,6 +62,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="second-tier compact capacity (the ladder): casts "
                         "too active for --compact still pack at this "
                         "fraction before falling back to full width")
+    p.add_argument("--depth-unroll", type=int, default=None, metavar="N",
+                   help="depth-loop unroll factor (perf-only, bit-"
+                        "identical; the rolled scan's back-edge blocks "
+                        "cast pipelining — default 8 = fully unrolled "
+                        "for standard depths)")
     p.add_argument("--bvh-builder", default="reference",
                    choices=["reference", "lbvh"],
                    help="acceleration-structure builder")
@@ -91,6 +96,8 @@ def _build(args):
         over["pairs_compact"] = args.compact
     if getattr(args, "compact2", None) is not None:
         over["pairs_compact2"] = args.compact2
+    if getattr(args, "depth_unroll", None) is not None:
+        over["depth_unroll"] = args.depth_unroll
 
     mesh = None
     builder = getattr(args, "bvh_builder", "reference")

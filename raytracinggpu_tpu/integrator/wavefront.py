@@ -379,8 +379,12 @@ def trace(
         # results are bit-identical (compaction is exact either way).
         import dataclasses
 
-        cfg0 = dataclasses.replace(
-            cfg, pairs_compact=0.0, pairs_compact2=0.0)
+        over0 = {"pairs_compact": 0.0, "pairs_compact2": 0.0}
+        if cfg.pairs_subgroup_d0:
+            # coherent primaries keep tight unions at any subgroup width
+            # while per-visit fixed costs halve per doubling (scene.py)
+            over0["pairs_subgroup"] = cfg.pairs_subgroup_d0
+        cfg0 = dataclasses.replace(cfg, **over0)
         ray = RayBatch.make(O, u)
         ys = []
         for d in range(D):

@@ -184,6 +184,17 @@ class RenderConfig:
                                 # falls to full width, so a scene whose
                                 # activity tops the tier loses speed,
                                 # never correctness
+    pairs_subgroup_d0: int = 0  # subgroup override for the depths BELOW
+                                # pairs_compact_min_depth (the full-width
+                                # d0 casts), applied only when the depth
+                                # loop is statically unrolled.  Primary
+                                # rays are image-ordered and coherent, so
+                                # their per-subgroup unions stay tight at
+                                # any width while the per-visit fixed
+                                # costs (17 tile-row reads, walk, RMW)
+                                # halve with each doubling; deep casts
+                                # reverse (vreg pressure).  0 = use
+                                # pairs_subgroup everywhere
     pairs_compact_min_depth: int = 1  # first depth whose casts run the
                                 # compaction machinery, applied only when
                                 # the depth loop is statically unrolled
