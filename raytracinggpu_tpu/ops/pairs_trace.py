@@ -899,6 +899,25 @@ def _key_mode(nc: int, R: int) -> tuple[int, int]:
     return 0, 0
 
 
+def _coarse_aabb(aabb, nc: int, g: int):
+    """(ng, 8) union boxes of g consecutive tiles (edge-padded), for the
+    compaction KEY only.  Tiles are packed in tree order (morton/pave), so
+    consecutive tiles are spatially coherent and the unions stay tight.
+    The coarse slab test is a conservative SUPERSET of per-tile activity
+    (bigger boxes only add actives), so compaction stays exact under the
+    same overflow-fallback rule — the compacted cast re-runs the exact
+    per-tile culling on the C packed rays either way."""
+    ng = -(-nc // g)
+    a = jnp.asarray(aabb[:nc])
+    if ng * g != nc:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (ng * g - nc, a.shape[1]))])
+    a = a.reshape(ng, g, a.shape[1])
+    return jnp.concatenate(
+        [jnp.min(a[:, :, 0:3], axis=1), jnp.max(a[:, :, 3:6], axis=1),
+         jnp.zeros((ng, a.shape[2] - 6), a.dtype)], axis=1), ng
+
+
 def _compact_key(O, u, aabb, nc, cap, active, valid_n):
     """Grouped activity compaction, keying stage: the packed sort key and
     the active count.
@@ -1074,6 +1093,7 @@ def intersect_tris_pairs(
     sgw: int = DEF_SGW,
     compact: float = 0.0,
     compact2: float = 0.0,
+    key_coarse: int = 1,
 ):
     """Closest hit over the cluster-tiled mesh.  Returns TriHit with the
     ORIGINAL (BVH-order) triangle index — drop-in compatible with the
@@ -1121,7 +1141,9 @@ def intersect_tris_pairs(
     if C2 <= C:
         C2 = 0
     if C:
-        skey, n_act, shift = _compact_key(O, u, tab.tile_aabb, nc, cap,
+        kaabb, knc = (tab.tile_aabb, nc) if key_coarse <= 1 else \
+            _coarse_aabb(tab.tile_aabb, nc, key_coarse)
+        skey, n_act, shift = _compact_key(O, u, kaabb, knc, cap,
                                           None, R)
         n_out = 5 if pcode else 2
 
@@ -1185,6 +1207,7 @@ def intersect_tris_pairs_shadow(
     sgw: int = DEF_SGW,
     compact: float = 0.0,
     compact2: float = 0.0,
+    key_coarse: int = 1,
 ):
     """Nearest mesh hit distance only (occlusion query; the reference's
     shadow test needs any hit with t^2 <= |L-P|^2,
@@ -1226,7 +1249,9 @@ def intersect_tris_pairs_shadow(
     if C2 <= C:
         C2 = 0
     if C:
-        skey, n_act, shift = _compact_key(O, u, tab.tile_aabb, nc, cap,
+        kaabb, knc = (tab.tile_aabb, nc) if key_coarse <= 1 else \
+            _coarse_aabb(tab.tile_aabb, nc, key_coarse)
+        skey, n_act, shift = _compact_key(O, u, kaabb, knc, cap,
                                           active, R)
 
         def path_compact(Ccap):

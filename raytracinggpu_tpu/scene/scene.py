@@ -184,6 +184,34 @@ class RenderConfig:
                                 # falls to full width, so a scene whose
                                 # activity tops the tier loses speed,
                                 # never correctness
+    pairs_key_coarse: int = 1   # compaction-key granularity: group this
+                                # many consecutive (tree-order) tiles into
+                                # one union box for the KEY's coarse slab
+                                # test, shrinking the full-width (nc, R)
+                                # slab — the dominant per-cast compaction
+                                # cost — by the same factor.  Activity
+                                # becomes a conservative SUPERSET (bigger
+                                # boxes only add actives), so exactness
+                                # is unchanged (same overflow-fallback
+                                # rule; the compacted cast re-runs exact
+                                # per-tile culling), but tier capacities
+                                # must absorb the inflation.  1 = exact
+                                # per-tile key
+    pairs_compact_d0: float = 0.0  # compact capacity for the depths BELOW
+                                # pairs_compact_min_depth (the d0 casts),
+                                # applied only when the depth loop is
+                                # statically unrolled.  The d0 casts run
+                                # ~14-15% active (73k/78k per 512k chunk
+                                # on the headline wavefronts) — past both
+                                # shared ladder tiers, but a d0-OWN tier
+                                # sized just above that (e.g. 20/128)
+                                # still shrinks the kernel 6.4x and its
+                                # R-proportional fixed costs (INF fill,
+                                # epilogue, transpose/DMA) without
+                                # inflating the deep casts' sort/take.
+                                # 0 = d0 casts run full width (no key
+                                # build, no cond).  Exact either way
+                                # (same overflow fallback rule)
     pairs_subgroup_d0: int = 0  # subgroup override for the depths BELOW
                                 # pairs_compact_min_depth (the full-width
                                 # d0 casts), applied only when the depth

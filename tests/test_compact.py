@@ -155,6 +155,16 @@ def test_render_parity_with_overflow(mesh):
         "ladder_overflow": dict(pairs_compact=0.02, pairs_compact2=0.04),
         "sah_pave_cmp": dict(pairs_cluster="sah", pairs_pack="pave",
                              pairs_cut=32, pairs_compact=0.25),
+        # coarse compaction key: g-tile union boxes make activity a
+        # conservative superset; results must stay bit-identical (the
+        # compacted cast re-runs exact per-tile culling)
+        "key_coarse": dict(pairs_compact=0.25, pairs_key_coarse=4),
+        "key_coarse_overflow": dict(pairs_compact=0.02,
+                                    pairs_key_coarse=8),
+        # d0-own tier (pairs_compact_d0, measured-negative perf knob):
+        # exactness contract is the same overflow-fallback rule
+        "d0_tier": dict(pairs_compact=0.25, pairs_compact_d0=0.5,
+                        depth_unroll=3),
     }.items():
         cfg, tables = build_preset(
             "array_bvh", mesh=mesh, width=48, height=48, spp=2,
@@ -166,3 +176,27 @@ def test_render_parity_with_overflow(mesh):
     assert np.isfinite(base).all()
     for name, a in imgs.items():
         assert np.array_equal(a, base), name
+
+
+def test_coarse_aabb_unions():
+    """_coarse_aabb: g-way unions in tree order, edge-padded tail, and a
+    conservative superset of per-tile activity by construction."""
+    from raytracinggpu_tpu.ops.pairs_trace import _coarse_aabb
+
+    rng = np.random.default_rng(3)
+    nc = 7
+    mn = rng.uniform(-5, 5, (nc, 3)).astype(np.float32)
+    mx = mn + rng.uniform(0.1, 2.0, (nc, 3)).astype(np.float32)
+    aabb = np.concatenate([mn, mx, np.zeros((nc, 2), np.float32)], axis=1)
+    coarse, ng = _coarse_aabb(jnp.asarray(aabb), nc, 4)
+    assert ng == 2
+    c = np.asarray(coarse)
+    np.testing.assert_array_equal(c[0, 0:3], mn[0:4].min(0))
+    np.testing.assert_array_equal(c[0, 3:6], mx[0:4].max(0))
+    # tail group: tiles 4..6 edge-padded with tile 6
+    np.testing.assert_array_equal(c[1, 0:3], mn[4:7].min(0))
+    np.testing.assert_array_equal(c[1, 3:6], mx[4:7].max(0))
+    # every tile box is contained in its group box (superset activity)
+    for i in range(nc):
+        g = i // 4
+        assert (c[g, 0:3] <= mn[i]).all() and (c[g, 3:6] >= mx[i]).all()
