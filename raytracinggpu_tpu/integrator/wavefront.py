@@ -368,7 +368,9 @@ def trace(
     D = uniforms.shape[0]
     unroll = max(1, min(int(cfg.depth_unroll), D))
     mind = int(cfg.pairs_compact_min_depth)
-    if (unroll >= D and mind > 0 and cfg.pairs_compact
+    if (unroll >= D and mind > 0
+            and (cfg.pairs_compact or cfg.pairs_compact_d0
+                 or cfg.pairs_subgroup_d0)
             and scene.mesh is not None
             and _effective_traversal(cfg, scene) == "pairs"):
         # Fully-unrolled Python depth loop with a PER-DEPTH static

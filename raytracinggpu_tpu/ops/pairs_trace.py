@@ -383,7 +383,8 @@ def build_pairs_tables(A, B, C, bvh, tile_t: int = TILE_T, vna=None,
     )
 
 
-def _ray_feature_rows(O: Vec3, u: Vec3, extra=()) -> jnp.ndarray:
+def _ray_feature_rows(O: Vec3, u: Vec3, extra=(), pad: bool = True
+                      ) -> jnp.ndarray:
     """(16, R) ray-feature ROWS: [u(3), w=O x u(3), O(3), extra..., 0-pad].
 
     Row-major on purpose: stacking (R,) components along axis 0 is a
@@ -395,12 +396,18 @@ def _ray_feature_rows(O: Vec3, u: Vec3, extra=()) -> jnp.ndarray:
     extra: up to 7 additional (R,) f32 rows (rows 9..15).  The compacted
     cast packs the per-ray cap / activity mask here so ONE minor-axis
     ``take`` moves every per-ray quantity at once (the kernel reads only
-    columns 0-8; rows 9-15 are dead weight in its VMEM block)."""
+    columns 0-8; rows 9-15 are dead weight in its VMEM block).
+
+    pad=False returns only the live rows (9 + len(extra)): the compacted
+    cast's minor-axis take costs ~proportional to rows x C, so gathering
+    the 5-7 all-zero pad rows was pure waste — callers take the live rows
+    and zero-pad at C (a C-sized copy, bandwidth-cheap)."""
     w = O.cross(u)
-    z = jnp.zeros_like(u.x)
     rows = [u.x, u.y, u.z, w.x, w.y, w.z, O.x, O.y, O.z, *extra]
     assert len(rows) <= NUM_RF_ROWS
-    rows += [z] * (NUM_RF_ROWS - len(rows))
+    if pad:
+        z = jnp.zeros_like(u.x)
+        rows += [z] * (NUM_RF_ROWS - len(rows))
     return jnp.stack(rows, axis=0)
 
 
@@ -964,15 +971,20 @@ def _compact_key(O, u, aabb, nc, cap, active, valid_n):
     R = O.x.shape[0]
     mode, shift = _key_mode(nc, R)
     lane = jnp.arange(R, dtype=jnp.int32)
-    act = jnp.any(hit, axis=0) & (lane < valid_n)
-    first = jnp.argmax(hit, axis=0).astype(jnp.int32)
+    # first/last active tile as iota min/max reduces: identical values to
+    # argmax(hit) / nc-1-argmax(hit[::-1]) but WITHOUT materializing the
+    # reversed (nc, R) matrix — the rev alone was 0.15 ms x 8 casts per
+    # 512k group on the device trace (PERF_NOTES r4), and any(hit) falls
+    # out of `last` for free.
+    tid = jnp.arange(nc, dtype=jnp.int32)[:, None]
+    last = jnp.max(jnp.where(hit, tid, np.int32(-1)), axis=0)
+    act = (last >= 0) & (lane < valid_n)
     if mode == 2:
-        last = np.int32(nc - 1) - jnp.argmax(hit[::-1], axis=0).astype(
-            jnp.int32)
+        first = jnp.min(jnp.where(hit, tid, np.int32(nc)), axis=0)
         key = first * np.int32(nc + 1) + last
         inactive = np.int32((nc + 1) * (nc + 1) - 1)
     else:
-        key = first
+        key = jnp.min(jnp.where(hit, tid, np.int32(nc)), axis=0)
         inactive = np.int32(nc)
     key = jnp.where(act, key, inactive)
     skey = (key << shift) | lane
@@ -981,8 +993,15 @@ def _compact_key(O, u, aabb, nc, cap, active, valid_n):
 
 def _compact_sort(skey, C, shift):
     """Sorting stage of the compaction (run it inside the compact branch):
-    source lane indices for the C-ray cast."""
-    return jax.lax.sort(skey)[:C] & np.int32((1 << shift) - 1)
+    source lane indices for the C-ray cast.
+
+    is_stable=False: every skey is distinct (the low ``shift`` bits are
+    the lane id), so the sorted sequence is unique and stability cannot
+    change the result — but the default stable lowering co-sorts a hidden
+    iota operand (s32[R] x2 through the sort network; device trace r4:
+    0.50 ms/sort stable vs the key alone unstable)."""
+    return jax.lax.sort(skey, is_stable=False)[:C] & np.int32(
+        (1 << shift) - 1)
 
 
 def _compact_src(O, u, aabb, nc, cap, active, C, valid_n):
@@ -1136,13 +1155,17 @@ def intersect_tris_pairs(
         return cast_rows(_ray_feature_rows(Ov, uv), Ov, uv, capv)
 
     Rp = O.x.shape[0]
-    C = _compact_ok(compact, nc, Rp, blk)
-    C2 = _compact_ok(compact2, nc, Rp, blk) if compact2 > compact else 0
+    # Key-fit gate on the COARSE tile count actually keyed (key_coarse > 1
+    # shrinks the key domain, so big meshes whose exact pairwise key
+    # overflows int32 can still compact on the coarse key).
+    knc = nc if key_coarse <= 1 else -(-nc // key_coarse)
+    C = _compact_ok(compact, knc, Rp, blk)
+    C2 = _compact_ok(compact2, knc, Rp, blk) if compact2 > compact else 0
     if C2 <= C:
         C2 = 0
     if C:
-        kaabb, knc = (tab.tile_aabb, nc) if key_coarse <= 1 else \
-            _coarse_aabb(tab.tile_aabb, nc, key_coarse)
+        kaabb = tab.tile_aabb if key_coarse <= 1 else \
+            _coarse_aabb(tab.tile_aabb, nc, key_coarse)[0]
         skey, n_act, shift = _compact_key(O, u, kaabb, knc, cap,
                                           None, R)
         n_out = 5 if pcode else 2
@@ -1157,15 +1180,24 @@ def intersect_tris_pairs(
             # compute; one fat sort serializes the critical path.
             def path(_):
                 src = _compact_sort(skey, Ccap, shift)
+                # take only the LIVE rows (9 or 10): the minor-axis take
+                # costs ~rows x C, so the 6-7 zero pad rows were ~40% of
+                # the move; re-pad to 16 at C (a cheap C-sized copy)
                 rfT = _ray_feature_rows(
-                    O, u, () if cap is None else (cap,))
+                    O, u, () if cap is None else (cap,), pad=False)
+                nr = rfT.shape[0]
                 rf = jnp.take(rfT, src, axis=1)
+                rf = jnp.pad(rf, ((0, NUM_RF_ROWS - nr), (0, 0)))
                 Oc = Vec3(rf[6], rf[7], rf[8])
                 uc = Vec3(rf[0], rf[1], rf[2])
                 out_s = cast_rows(rf, Oc, uc,
                                   None if cap is None else rf[9])
                 # no-hit defaults (the exact kernel output for rays with
-                # no active tiles): t=INF, idx=0, N=(0,0,0)
+                # no active tiles): t=INF, idx=0, N=(0,0,0).  Five ROW
+                # scatters on purpose: a fused (n_out, C) -> (n_out, R)
+                # axis-1 scatter measured 195.3 -> 170.8 Mray/s headline
+                # (multi-dim scatter lowers far worse than n_out flat
+                # row scatters — PERF_NOTES r4).
                 defaults = [jnp.full((Rp,), INF, jnp.float32),
                             jnp.zeros((Rp,), jnp.int32)] + [
                     jnp.zeros((Rp,), jnp.float32)] * (n_out - 2)
@@ -1244,13 +1276,15 @@ def intersect_tris_pairs_shadow(
         return cast_rows(_ray_feature_rows(Ov, uv), Ov, uv, capv, actv)
 
     Rp = O.x.shape[0]
-    C = _compact_ok(compact, nc, Rp, blk)
-    C2 = _compact_ok(compact2, nc, Rp, blk) if compact2 > compact else 0
+    # coarse-count key-fit gate — see intersect_tris_pairs
+    knc = nc if key_coarse <= 1 else -(-nc // key_coarse)
+    C = _compact_ok(compact, knc, Rp, blk)
+    C2 = _compact_ok(compact2, knc, Rp, blk) if compact2 > compact else 0
     if C2 <= C:
         C2 = 0
     if C:
-        kaabb, knc = (tab.tile_aabb, nc) if key_coarse <= 1 else \
-            _coarse_aabb(tab.tile_aabb, nc, key_coarse)
+        kaabb = tab.tile_aabb if key_coarse <= 1 else \
+            _coarse_aabb(tab.tile_aabb, nc, key_coarse)[0]
         skey, n_act, shift = _compact_key(O, u, kaabb, knc, cap,
                                           active, R)
 
@@ -1265,8 +1299,11 @@ def intersect_tris_pairs_shadow(
                 if active is not None:
                     extra += (active.astype(jnp.float32),)
                 src = _compact_sort(skey, Ccap, shift)
-                rfT = _ray_feature_rows(O, u, extra)
+                # live rows only (10-11 of 16) — see the closest path
+                rfT = _ray_feature_rows(O, u, extra, pad=False)
+                nr = rfT.shape[0]
                 rf = jnp.take(rfT, src, axis=1)
+                rf = jnp.pad(rf, ((0, NUM_RF_ROWS - nr), (0, 0)))
                 Oc = Vec3(rf[6], rf[7], rf[8])
                 uc = Vec3(rf[0], rf[1], rf[2])
                 t_s = cast_rows(rf, Oc, uc,

@@ -239,7 +239,17 @@ def trace_chunked(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3, unifo
         Oc, uc, un = x
         return trace(scene, cfg, Oc, uc, un)
 
-    colors, stats = jax.lax.map(body, xs)
+    n_chunks_eff = xs[2].shape[0]
+    if 1 < n_chunks_eff <= max(1, int(cfg.chunk_unroll)):
+        # Straight-line the chunk loop: lax.map is a scan whose back-edge
+        # serializes chunks, so chunk k's deep-cast glue (compaction
+        # key/sort/take/scatter) could never overlap chunk k+1's coherent
+        # full-width d0 kernels.  Bit-identical (same body per chunk).
+        outs = [body(jax.tree.map(lambda a: a[i], xs))
+                for i in range(n_chunks_eff)]
+        colors, stats = jax.tree.map(lambda *ys: jnp.stack(ys), *outs)
+    else:
+        colors, stats = jax.lax.map(body, xs)
     col = Vec3(*(c.reshape(-1)[:R] for c in colors))
     stats = jax.tree.map(lambda s: jnp.sum(s, axis=0), stats)
     return col, stats
@@ -294,8 +304,12 @@ def render_rows(
     from raytracinggpu_tpu.integrator.wavefront import TraceStats
 
     stats0 = TraceStats(*(jnp.zeros((D,), jnp.int32) for _ in range(6)))
+    # spp_unroll: the group scan's back-edge is a sequential barrier
+    # (the depth_unroll lesson one level up) — unrolling lets group k's
+    # deep-cast tail overlap group k+1's d0 head.  Bit-identical.
     (acc, stats), _ = jax.lax.scan(
-        group_body, (Vec3.zeros((R,)), stats0), groups
+        group_body, (Vec3.zeros((R,)), stats0), groups,
+        unroll=max(1, min(int(cfg.spp_unroll), groups.shape[0])),
     )
     return acc, stats
 

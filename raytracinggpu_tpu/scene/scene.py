@@ -283,6 +283,23 @@ class RenderConfig:
                                 # the CPU suite's hundreds of compiles
                                 # stay fast; test_wavefront asserts the
                                 # unrolled path's equivalence)
+    spp_unroll: int = 1         # unroll factor for the sample-group scan
+                                # (render/pipeline.render_rows).  Same
+                                # mechanism as depth_unroll one level up:
+                                # the group scan's back-edge is a hard
+                                # barrier, so group k's cheap deep-cast
+                                # tail could never overlap group k+1's
+                                # full-width d0 casts.  Bit-identical by
+                                # construction (the scan body is
+                                # unchanged); costs compile time
+    chunk_unroll: int = 1       # unroll bound for the ray-chunk loop
+                                # (render/pipeline.trace_chunked): when
+                                # the frame splits into <= this many
+                                # chunks, run them as straight-line code
+                                # instead of lax.map — chunk k's deep
+                                # glue then overlaps chunk k+1's coherent
+                                # d0 kernels across the old map barrier.
+                                # Bit-identical; costs compile time
     mxu_precision: str = "highest"  # highest | default (bf16 fast path)
     animate_mesh: bool = False  # realtime loop: spin the mesh via the jitted
                                 # pose transform (scene/transform.py) — the
