@@ -38,10 +38,10 @@ def main() -> None:
             over[k] = ast.literal_eval(v)
         except (SyntaxError, ValueError):
             over[k] = v
-    cfg, tables = build_preset(
-        "array_bvh", width=512, height=512, spp=32, max_depth=5,
-        traversal="pairs", **over,
-    )
+    base = dict(width=512, height=512, spp=32, max_depth=5,
+                traversal="pairs")
+    base.update(over)
+    cfg, tables = build_preset("array_bvh", **base)
     cam = Camera.fixed(cfg.camera_c)
 
     t0 = time.perf_counter()

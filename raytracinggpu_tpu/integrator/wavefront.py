@@ -141,6 +141,7 @@ def intersect_all(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3) -> Hi
                 blk=cfg.pairs_block, sgw=cfg.pairs_sgw,
                 payload="smooth" if cfg.smooth_normals else "geom",
                 compact=cfg.pairs_compact, compact2=cfg.pairs_compact2,
+                compact3=cfg.pairs_compact3,
                 key_coarse=cfg.pairs_key_coarse,
             )
         elif traversal == "bvh":
@@ -225,6 +226,7 @@ def occlusion_distance(scene: SceneTables, cfg: RenderConfig, O: Vec3, u: Vec3,
             cap=cap, interpret=interpret, subg=cfg.pairs_subgroup,
             blk=cfg.pairs_block, active=active, sgw=cfg.pairs_sgw,
             compact=cfg.pairs_compact, compact2=cfg.pairs_compact2,
+            compact3=cfg.pairs_compact3,
             key_coarse=cfg.pairs_key_coarse,
         )
         return jnp.minimum(t_sph, t_mesh)
@@ -388,7 +390,7 @@ def trace(
         # ~14-15% activity, compact on their OWN single tier — the shared
         # ladder's tiers stay sized for the deep casts either way.
         over0 = {"pairs_compact": float(cfg.pairs_compact_d0),
-                 "pairs_compact2": 0.0}
+                 "pairs_compact2": 0.0, "pairs_compact3": 0.0}
         if cfg.pairs_subgroup_d0:
             # coherent primaries keep tight unions at any subgroup width
             # while per-visit fixed costs halve per doubling (scene.py)

@@ -1045,6 +1045,31 @@ def _compact_ok(compact: float, nc: int, R: int, blk: int) -> int:
     return C if C < R else 0
 
 
+def _compact_tiers(fractions, nc: int, R: int, blk: int) -> list:
+    """Capacity ladder: the strictly-ascending list of valid tier
+    capacities from the given fractions (order-insensitive; zeros,
+    duplicates and capacities that fail _compact_ok drop out)."""
+    tiers: list = []
+    for f in sorted(float(x) for x in fractions if x):
+        C = _compact_ok(f, nc, R, blk)
+        if C and (not tiers or C > tiers[-1]):
+            tiers.append(C)
+    return tiers
+
+
+def _ladder(tiers, n_act, path_compact, path_full):
+    """Nest the capacity ladder's lax.conds innermost-first: try the
+    tightest tier, fall to each wider tier on overflow, full width last.
+    Only the selected branch executes (cond semantics), so unused wide
+    tiers cost compile time, never run time."""
+    tail = path_full
+    for Ccap in reversed(tiers[1:]):
+        tail = (lambda Ccap, nxt: lambda _: jax.lax.cond(
+            n_act <= Ccap, path_compact(Ccap), nxt, None))(Ccap, tail)
+    return jax.lax.cond(n_act <= tiers[0], path_compact(tiers[0]),
+                        tail, None)
+
+
 def smem_ray_cap(nc: int, subg: int, blk: int) -> int:
     """Largest per-call ray count whose (W, R/subg) culling bitmask fits
     the known-good SMEM budget (SMEM_WORDS words), rounded to whole
@@ -1112,6 +1137,7 @@ def intersect_tris_pairs(
     sgw: int = DEF_SGW,
     compact: float = 0.0,
     compact2: float = 0.0,
+    compact3: float = 0.0,
     key_coarse: int = 1,
 ):
     """Closest hit over the cluster-tiled mesh.  Returns TriHit with the
@@ -1159,10 +1185,8 @@ def intersect_tris_pairs(
     # shrinks the key domain, so big meshes whose exact pairwise key
     # overflows int32 can still compact on the coarse key).
     knc = nc if key_coarse <= 1 else -(-nc // key_coarse)
-    C = _compact_ok(compact, knc, Rp, blk)
-    C2 = _compact_ok(compact2, knc, Rp, blk) if compact2 > compact else 0
-    if C2 <= C:
-        C2 = 0
+    tiers = _compact_tiers((compact, compact2, compact3), knc, Rp, blk)
+    C = tiers[0] if tiers else 0
     if C:
         kaabb = tab.tile_aabb if key_coarse <= 1 else \
             _coarse_aabb(tab.tile_aabb, nc, key_coarse)[0]
@@ -1207,12 +1231,11 @@ def intersect_tris_pairs(
             return path
 
         path_full = lambda _: tuple(cast(O, u, cap))[:n_out]
-        # capacity ladder: tight tier (deep casts) -> wide tier (the
-        # 11.5-14%-active d0/d1 casts) -> full width, one nested cond
-        tail = (path_full if not C2 else
-                lambda _: jax.lax.cond(
-                    n_act <= C2, path_compact(C2), path_full, None))
-        out = jax.lax.cond(n_act <= C, path_compact(C), tail, None)
+        # capacity ladder: tight tier (deep casts) -> mid tier (the
+        # 11.5-14%-active d1 casts at 512k chunks) -> wide tier (the
+        # same casts at resolutions whose activity runs 15-18%, e.g.
+        # 800x600) -> full width, nested conds innermost-first
+        out = _ladder(tiers, n_act, path_compact, path_full)
     else:
         out = cast(O, u, cap)
     if pad:
@@ -1239,6 +1262,7 @@ def intersect_tris_pairs_shadow(
     sgw: int = DEF_SGW,
     compact: float = 0.0,
     compact2: float = 0.0,
+    compact3: float = 0.0,
     key_coarse: int = 1,
 ):
     """Nearest mesh hit distance only (occlusion query; the reference's
@@ -1278,10 +1302,8 @@ def intersect_tris_pairs_shadow(
     Rp = O.x.shape[0]
     # coarse-count key-fit gate — see intersect_tris_pairs
     knc = nc if key_coarse <= 1 else -(-nc // key_coarse)
-    C = _compact_ok(compact, knc, Rp, blk)
-    C2 = _compact_ok(compact2, knc, Rp, blk) if compact2 > compact else 0
-    if C2 <= C:
-        C2 = 0
+    tiers = _compact_tiers((compact, compact2, compact3), knc, Rp, blk)
+    C = tiers[0] if tiers else 0
     if C:
         kaabb = tab.tile_aabb if key_coarse <= 1 else \
             _coarse_aabb(tab.tile_aabb, nc, key_coarse)[0]
@@ -1314,10 +1336,7 @@ def intersect_tris_pairs_shadow(
             return path
 
         path_full = lambda _: cast(O, u, cap, active)
-        tail = (path_full if not C2 else
-                lambda _: jax.lax.cond(
-                    n_act <= C2, path_compact(C2), path_full, None))
-        t = jax.lax.cond(n_act <= C, path_compact(C), tail, None)
+        t = _ladder(tiers, n_act, path_compact, path_full)
     else:
         t = cast(O, u, cap, active)
     return t[:R] if pad else t

@@ -184,6 +184,19 @@ class RenderConfig:
                                 # falls to full width, so a scene whose
                                 # activity tops the tier loses speed,
                                 # never correctness
+    pairs_compact3: float = 0.1875  # third-tier compact capacity
+                                # (24/128).  The d1 casts' activity is
+                                # RESOLUTION-dependent: 13.0% of rays at
+                                # 512^2 (fits tier 2) but 17.2% at
+                                # 800x600 — past both narrower tiers, so
+                                # before this rung the metric's own
+                                # stated resolution fell to the 9.5 ms
+                                # full-width cast and ran 156-182 Mray/s
+                                # vs 226 at 512^2.  With it: 212 Mray/s
+                                # at 800x600, 512^2 unchanged (an unused
+                                # rung costs compile time only — lax.cond
+                                # executes one branch).  Same exactness
+                                # rule (overflow falls to full width)
     pairs_key_coarse: int = 1   # compaction-key granularity: group this
                                 # many consecutive (tree-order) tiles into
                                 # one union box for the KEY's coarse slab

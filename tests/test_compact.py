@@ -87,6 +87,19 @@ def test_compact_ok_gates():
     assert _compact_ok(0.1, 31, 262144, 4096) == 28672
 
 
+def test_compact_tiers_ladder():
+    from raytracinggpu_tpu.ops.pairs_trace import _compact_tiers
+
+    # ascending, zeros dropped, order-insensitive
+    assert _compact_tiers((0.25, 0.0, 0.1), 31, 262144, 4096) == [
+        28672, 65536]
+    # duplicate capacities collapse (0.1 and 0.105 both round to 28672)
+    assert _compact_tiers((0.1, 0.105), 31, 262144, 4096) == [28672]
+    # tiers at/above R drop out; empty when nothing is valid
+    assert _compact_tiers((0.9,), 31, 8192, 4096) == []
+    assert _compact_tiers((0.0, 0.0, 0.0), 31, 262144, 4096) == []
+
+
 @pytest.mark.parametrize("frac", [0.25, 0.05])
 def test_direct_cast_parity(mesh, frac):
     """Direct kernel API: compacted closest + shadow equal the full cast
@@ -153,6 +166,12 @@ def test_render_parity_with_overflow(mesh):
         # d0 casts; second variant overflows BOTH tiers (full fallback)
         "ladder": dict(pairs_compact=0.02, pairs_compact2=0.25),
         "ladder_overflow": dict(pairs_compact=0.02, pairs_compact2=0.04),
+        # three-rung ladder: both narrow tiers overflow, rung 3 catches;
+        # second variant overflows all three (full-width fallback)
+        "ladder3": dict(pairs_compact=0.02, pairs_compact2=0.04,
+                        pairs_compact3=0.5),
+        "ladder3_overflow": dict(pairs_compact=0.02, pairs_compact2=0.03,
+                                 pairs_compact3=0.04),
         "sah_pave_cmp": dict(pairs_cluster="sah", pairs_pack="pave",
                              pairs_cut=32, pairs_compact=0.25),
         # coarse compaction key: g-tile union boxes make activity a
