@@ -22,11 +22,12 @@ NORTH_STAR_MRAYS = 200.0
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from raytracinggpu_tpu.bench._timing import ensure_sync_async, setup_cache
+
+    setup_cache()  # write-probed; degrades to cache-off, never aborts
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # Warm the device-to-host tunnel concurrently with compilation (the
     # first D2H on this runtime takes minutes; see SKILL notes).
-    from raytracinggpu_tpu.bench._timing import ensure_sync_async
 
     ensure_sync_async()
 
