@@ -72,11 +72,23 @@ def setup_cache() -> None:
         path = os.path.join(root, ".jax_cache")
     try:
         os.makedirs(path, exist_ok=True)
-        probe = os.path.join(path, ".write_probe")
+        # Per-process probe name: concurrent setup_cache callers (parallel
+        # bench/test runs) must not race each other's remove.
+        probe = os.path.join(path, f".write_probe.{os.getpid()}")
         with open(probe, "w") as f:
             f.write("ok")
-        os.remove(probe)
-    except OSError:
+        try:
+            os.remove(probe)
+        except FileNotFoundError:
+            pass
+    except OSError as e:
+        import warnings
+
+        # Degrading silently would contradict the "demoted to warnings"
+        # promise — especially for an explicitly user-requested dir.
+        warnings.warn(
+            f"persistent compilation cache disabled: {path!r} is not "
+            f"writable ({e})", stacklevel=2)
         try:  # unwritable: make sure an env-inherited dir is not used
             jax.config.update("jax_compilation_cache_dir", None)
         except Exception:

@@ -15,10 +15,19 @@ from raytracinggpu_tpu.bench._timing import setup_cache
 
 @pytest.fixture
 def cache_env(monkeypatch):
-    """Save/restore the cache config around each test."""
-    before = jax.config.jax_compilation_cache_dir
+    """Save/restore the cache config around each test (including the
+    raise-errors and min-compile-time flags setup_cache / tests mutate —
+    leaking raise_errors=False would mask real failures suite-wide)."""
+    before = {
+        "jax_compilation_cache_dir": jax.config.jax_compilation_cache_dir,
+        "jax_raise_persistent_cache_errors":
+            jax.config.jax_raise_persistent_cache_errors,
+        "jax_persistent_cache_min_compile_time_secs":
+            jax.config.jax_persistent_cache_min_compile_time_secs,
+    }
     yield monkeypatch
-    jax.config.update("jax_compilation_cache_dir", before)
+    for k, v in before.items():
+        jax.config.update(k, v)
 
 
 def _jit_runs():
@@ -46,18 +55,35 @@ def test_empty_env_is_explicit_disable(cache_env):
     _jit_runs()
 
 
+def _cacheable(x):
+    # ONE function object at ONE source location: retracing after
+    # clear_caches yields the identical cache key, so the corrupted entry
+    # below is really read back.
+    return x * 2.0 + 1.0
+
+
 def test_corrupted_cache_entries_are_nonfatal(tmp_path, cache_env):
     d = tmp_path / "cache"
     d.mkdir()
-    # garbage entries of several shapes a poisoned cache could hold
-    (d / "jit_f-deadbeef").write_bytes(b"\x00\xff not a real entry \x00" * 64)
-    (d / "truncated").write_bytes(b"\x28\xb5\x2f\xfd")  # zstd magic, no body
     cache_env.setenv("JAX_COMPILATION_CACHE_DIR", str(d))
     setup_cache()
     assert jax.config.jax_compilation_cache_dir == str(d)
     # errors demoted to warnings: corrupt reads recompile instead of abort
     assert jax.config.jax_raise_persistent_cache_errors is False
-    _jit_runs()
+    # Write a REAL entry (min compile time 0 so the tiny jit qualifies) ...
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    assert float(jax.jit(_cacheable)(jnp.float32(3.0))) == 7.0
+    entries = [p for p in d.iterdir() if p.is_file()]
+    assert entries, "no persistent cache entry was written"
+    # ... then truncate every entry so the stored executable is garbage.
+    for p in entries:
+        data = p.read_bytes()
+        p.write_bytes(data[: max(1, len(data) // 2)])
+    # Drop the in-memory executable: the next call must go through the
+    # persistent cache, hit the corrupt bytes, warn, and recompile.
+    jax.clear_caches()
+    with pytest.warns(UserWarning):
+        assert float(jax.jit(_cacheable)(jnp.float32(3.0))) == 7.0
 
 
 def test_default_repo_cache_still_engages(cache_env):
