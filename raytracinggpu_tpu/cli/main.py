@@ -62,6 +62,18 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="second-tier compact capacity (the ladder): casts "
                         "too active for --compact still pack at this "
                         "fraction before falling back to full width")
+    p.add_argument("--compact3", type=float, default=None, metavar="FRAC",
+                   help="third-tier compact capacity: catches the 15-18%% "
+                        "activity band (e.g. the d1 casts at 800x600) that "
+                        "overflows both narrower tiers; 0 disables the rung")
+    p.add_argument("--spp-unroll", type=int, default=None, metavar="N",
+                   help="unroll factor for the sample-group scan (perf-"
+                        "only, bit-identical: lets group k's deep-cast "
+                        "tail overlap group k+1's d0 casts)")
+    p.add_argument("--chunk-unroll", type=int, default=None, metavar="N",
+                   help="straight-line the ray-chunk loop when the frame "
+                        "splits into <= N chunks (perf-only, bit-"
+                        "identical; costs compile time)")
     p.add_argument("--depth-unroll", type=int, default=None, metavar="N",
                    help="depth-loop unroll factor (perf-only, bit-"
                         "identical; the rolled scan's back-edge blocks "
@@ -96,6 +108,12 @@ def _build(args):
         over["pairs_compact"] = args.compact
     if getattr(args, "compact2", None) is not None:
         over["pairs_compact2"] = args.compact2
+    if getattr(args, "compact3", None) is not None:
+        over["pairs_compact3"] = args.compact3
+    if getattr(args, "spp_unroll", None) is not None:
+        over["spp_unroll"] = args.spp_unroll
+    if getattr(args, "chunk_unroll", None) is not None:
+        over["chunk_unroll"] = args.chunk_unroll
     if getattr(args, "depth_unroll", None) is not None:
         over["depth_unroll"] = args.depth_unroll
 
