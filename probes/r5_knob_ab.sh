@@ -5,6 +5,8 @@
 # One TPU process at a time; one JSON line per run, appended to $OUT.
 OUT=${1:-/tmp/r5_knob_ab.jsonl}
 cd "$(dirname "$0")/.."
+PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+export PYTHONPATH
 run() {
   echo "# $*" >> "$OUT"
   timeout 900 python probes/headline_ab.py "$@" >> "$OUT" 2>/dev/null \

@@ -241,6 +241,7 @@ def cmd_realtime(args) -> int:
         raw_pipe=raw,
         angular_speed=light_speed,
         mesh_speed=args.mesh_speed,
+        frames_per_dispatch=getattr(args, "frames_per_dispatch", 1),
     )
     info = sys.stderr if args.raw else sys.stdout
     if args.checkpoint:
@@ -266,7 +267,7 @@ def _interactive_loop(tables, cfg, args, light_speed=1.0) -> int:
     import numpy as np
 
     from raytracinggpu_tpu.render.image_io import write_png
-    from raytracinggpu_tpu.render.realtime import init_state, on_key, step
+    from raytracinggpu_tpu.render.realtime import init_state, on_key, step, steps
 
     import os
 
@@ -276,6 +277,7 @@ def _interactive_loop(tables, cfg, args, light_speed=1.0) -> int:
         out = os.path.join(args.out_dir, "live.png")
     else:
         out = "live.png"
+    g = max(1, getattr(args, "frames_per_dispatch", 1))
     state = init_state(cfg, tables, seed=args.seed)
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
@@ -288,20 +290,30 @@ def _interactive_loop(tables, cfg, args, light_speed=1.0) -> int:
         # async analog of the reference's free-running GLUT pump)
         t0 = time.perf_counter()
         while args.frames <= 0 or i < args.frames:
-            state, display = step(
-                tables, cfg, state,
-                angular_speed=np.float32(light_speed),
-                mesh_speed=np.float32(args.mesh_speed),
-            )
+            if g == 1:
+                state, display = step(
+                    tables, cfg, state,
+                    angular_speed=np.float32(light_speed),
+                    mesh_speed=np.float32(args.mesh_speed),
+                )
+            else:
+                # micro-batch: g progressive frames per dispatch (the
+                # period is host-dispatch-bound; key events apply between
+                # dispatches, i.e. every g frames)
+                state, batch = steps(
+                    tables, cfg, g, state, np.float32(light_speed),
+                    mesh_speed=np.float32(args.mesh_speed),
+                )
+                display = batch[-1]
             if pending is not None:
                 pending.block_until_ready()
                 t1 = time.perf_counter()
-                dt = t1 - t0
+                dt = (t1 - t0) / g
                 t0 = t1
                 write_png(out, np.asarray(pending))
-                # pending holds frame i-1 (1-frame pipeline latency)
-                if (i - 1) % 5 == 0:
-                    print(f"frame {i - 1}: {dt*1e3:.0f} ms "
+                # pending holds the previous dispatch's newest frame
+                if ((i - g) // g) % max(1, 5 // g) == 0:
+                    print(f"frame {i - g}: {dt*1e3:.0f} ms "
                           f"({1/dt:.2f} FPS)", flush=True)
             pending = display
             while select.select([sys.stdin], [], [], 0)[0]:
@@ -309,7 +321,7 @@ def _interactive_loop(tables, cfg, args, light_speed=1.0) -> int:
                 if ch == "q" or ch == "\x1b":
                     return 0
                 state = on_key(state, keymap.get(ch, ch))
-            i += 1
+            i += g
         if pending is not None:
             pending.block_until_ready()
             write_png(out, np.asarray(pending))
@@ -371,6 +383,13 @@ def main(argv=None) -> int:
     pt.add_argument("--checkpoint", default=None)
     pt.add_argument("--interactive", action="store_true",
                     help="terminal-interactive camera (GLUT-equivalent keys)")
+    pt.add_argument("--frames-per-dispatch", type=int, default=1,
+                    metavar="G",
+                    help="micro-batch G frames into one device dispatch "
+                         "(steps() scan): the loop period is host-dispatch-"
+                         "bound (~30 ms/dispatch on tunneled runtimes), so "
+                         "G>1 is the lever below that floor; input latency "
+                         "grows to ~2G frames.  Bit-identical to G=1")
 
     pb = sub.add_parser("bench", help="benchmark sweep (benchmark.py parity)")
     _add_common(pb)

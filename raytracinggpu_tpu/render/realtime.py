@@ -237,6 +237,7 @@ def run_loop(
     angular_speed: float = 1.0,
     mesh_speed: float = 1.0,
     pipelined: bool = True,
+    frames_per_dispatch: int = 1,
 ):
     """Host frame pump (the TPU analog of glutMainLoop + disp,
     realtime_render.cu:1244-1298): steps the jitted renderer, streams frames,
@@ -251,6 +252,13 @@ def run_loop(
     (realtime_render.cu:1244-1298).  Frames stream in order, one frame of
     latency.  pipelined=False restores the strict dispatch-wait-read loop.
 
+    frames_per_dispatch (g): micro-batch g frames into ONE steps() scan
+    dispatch.  The interactive loop's period is HOST-dispatch-bound on
+    this runtime (~30 ms/dispatch regardless of frame size — PERF_NOTES
+    r5: the 512² inversion), so amortizing the dispatch over g frames is
+    the only lever below that floor; input latency grows to ~2g frames.
+    Frames are bit-identical to g=1 (steps() scans the same step body).
+
     Returns (final_state, fps_summary dict).
     """
     import os
@@ -261,6 +269,7 @@ def run_loop(
     state = init_state(cfg, scene, seed)
     times = []
     speed = np.float32(angular_speed)
+    g = max(1, int(frames_per_dispatch))
 
     def emit(i, display):
         if out_dir is not None:
@@ -279,17 +288,30 @@ def run_loop(
                 file=sys.stderr if raw_pipe is not None else sys.stdout,
             )
 
-    pending = None  # (index, display) not yet read back
+    def emit_batch(i0, disp):
+        """disp: (g', H, W, 3) batch — emit each frame."""
+        for j in range(disp.shape[0]):
+            emit(i0 + j, disp[j])
+
+    pending = None  # (first index, displays (g', H, W, 3)) not yet read
     t0 = time.perf_counter()
-    for i in range(n_frames):
-        state, display = step(scene, cfg, state, speed,
-                              mesh_speed=np.float32(mesh_speed))
+    i = 0
+    while i < n_frames:
+        gi = min(g, n_frames - i)
+        if gi == 1 and g == 1:
+            state, display = step(scene, cfg, state, speed,
+                                  mesh_speed=np.float32(mesh_speed))
+            display = display[None]
+        else:
+            state, display = steps(scene, cfg, gi, state, speed,
+                                   mesh_speed=np.float32(mesh_speed))
         if not pipelined:
             display.block_until_ready()
         if pending is not None:
             pending[1].block_until_ready()
-            times.append(time.perf_counter() - t0)
-            emit(*pending)
+            times.extend([(time.perf_counter() - t0) / pending[1].shape[0]]
+                         * pending[1].shape[0])
+            emit_batch(*pending)
             pending = None
             # restart AFTER emit: PNG encode / pipe writes are explicitly
             # excluded from the measured frame time (gallery row notes)
@@ -297,18 +319,20 @@ def run_loop(
         if pipelined:
             pending = (i, display)
         else:
-            times.append(time.perf_counter() - t0)
-            emit(i, display)
+            times.extend([(time.perf_counter() - t0) / gi] * gi)
+            emit_batch(i, display)
             t0 = time.perf_counter()
+        i += gi
     if pending is not None:
         pending[1].block_until_ready()
-        times.append(time.perf_counter() - t0)
-        emit(*pending)
+        times.extend([(time.perf_counter() - t0) / pending[1].shape[0]]
+                     * pending[1].shape[0])
+        emit_batch(*pending)
     if not times:  # n_frames == 0: no NaN means / IndexError
         return state, {
             "frames": 0, "mean_ms": 0.0, "fps": 0.0, "first_frame_ms": 0.0,
         }
-    steady = times[1:] or times
+    steady = times[g:] or times
     return state, {
         "frames": n_frames,
         "mean_ms": float(np.mean(steady) * 1e3),

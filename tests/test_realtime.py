@@ -124,6 +124,28 @@ def test_run_loop_smoke(tmp_path):
     ]
 
 
+def test_run_loop_frames_per_dispatch_bit_identical(tmp_path):
+    """Micro-batched dispatch (g=2, incl. a remainder batch) must emit the
+    SAME frames as g=1 — steps() scans the same step body, so the only
+    difference is how many frames ride per device dispatch."""
+    import os
+
+    from raytracinggpu_tpu.render.realtime import run_loop
+
+    cfg, tables = _rt_scene()
+    a, b = tmp_path / "a", tmp_path / "b"
+    st1, sum1 = run_loop(tables, cfg, n_frames=3, out_dir=str(a),
+                         print_every=0)
+    st2, sum2 = run_loop(tables, cfg, n_frames=3, out_dir=str(b),
+                         print_every=0, frames_per_dispatch=2)
+    assert int(st2.frames) == 3 and sum2["frames"] == 3
+    assert sorted(os.listdir(a)) == sorted(os.listdir(b))
+    from raytracinggpu_tpu.render.image_io import read_png
+
+    for f in os.listdir(a):
+        np.testing.assert_array_equal(read_png(a / f), read_png(b / f))
+
+
 def test_steps_batch_matches_sequential():
     from raytracinggpu_tpu.render.realtime import steps
 
