@@ -157,8 +157,26 @@ def cast_breakdown(cfg, tables) -> dict:
     if tables.pairs_mesh is not None and cfg.traversal == "pairs":
         tab = tables.pairs_mesh
         nc = tab.tile_aabb.shape[0]
-        subg, blk = cfg.pairs_subgroup, cfg.pairs_block
+        subg = cfg.pairs_subgroup
+        # Mirror the production block shrink (intersect_tris_pairs):
+        # calling the kernel at the raw configured block on a big mesh
+        # (W > 8 bitmask words) would exceed the SMEM budget.
+        blk = pt._blk_cap(nc, subg, cfg.pairs_block, pt.tile_width(tab),
+                          5, tab.fields.shape[1])
         O2, u2, cap2, _, _, _ = pt._prep(O1, u1, t_s, blk)
+        # Big meshes (W > 8 bitmask words): production chunks the cast at
+        # smem_ray_cap rays per kernel call; the micro-timings below are
+        # ONE such chunk (per-chunk numbers — the full cast runs
+        # ceil(R/chunk) of them).  Cat-sized meshes are unaffected
+        # (cap >> R).  The slice keeps whole blocks so _prep padding
+        # stays valid.
+        ray_cap = pt.smem_ray_cap(nc, subg, blk) // blk * blk
+        if 0 < ray_cap < O2.x.shape[0]:
+            sl = lambda c: c[:ray_cap]
+            from raytracinggpu_tpu.core.vec import Vec3 as _V3
+
+            O2, u2, cap2 = _V3(*map(sl, O2)), _V3(*map(sl, u2)), sl(cap2)
+            out["breakdown_chunk_rays"] = ray_cap
         rfT = jax.block_until_ready(pt._ray_feature_rows(O2, u2))
         bits = jax.block_until_ready(pt._pair_bits(
             O2, u2, tab.tile_aabb, nc, subg, blk, cap=cap2,

@@ -49,6 +49,23 @@ def main() -> None:
                        "pairs_compact3": 0.0}),
         ("s16", {"pairs_subgroup": 16}),
         ("tile512_s16", {"pairs_tile": 512, "pairs_subgroup": 16}),
+        # r5 second wave: s16 won +32%; does it compose?
+        ("s8", {"pairs_subgroup": 8}),
+        ("s32", {"pairs_subgroup": 32}),
+        ("s16_kc32", {"pairs_subgroup": 16, "pairs_key_coarse": 32}),
+        ("s16_nocompact", {"pairs_subgroup": 16, "pairs_compact": 0.0,
+                           "pairs_compact2": 0.0, "pairs_compact3": 0.0}),
+        ("s16_blk1024", {"pairs_subgroup": 16, "pairs_block": 1024}),
+        ("s16_blk8192", {"pairs_subgroup": 16, "pairs_block": 8192}),
+        # r5 third wave: the breakdown shows the full-width d0 casts pay
+        # the O(nm x R) bits + kernel on every chunk; d1 casts already
+        # compact (14.3% active).  Engage the d0-own tier / full ladder.
+        ("s16_kc32_d0c50", {"pairs_subgroup": 16, "pairs_key_coarse": 32,
+                            "pairs_compact_d0": 0.5}),
+        ("s16_kc32_d0c25", {"pairs_subgroup": 16, "pairs_key_coarse": 32,
+                            "pairs_compact_d0": 0.25}),
+        ("s16_kc32_mind0", {"pairs_subgroup": 16, "pairs_key_coarse": 32,
+                            "pairs_compact_min_depth": 0}),
     ]
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     for name, over in CASES:
