@@ -175,4 +175,33 @@ def build_preset(
         pairs_cut=cfg.pairs_cut,
         pairs_pack=cfg.pairs_pack,
     )
+    cfg = _autotune_pairs(cfg, tables, config_overrides)
     return cfg, tables
+
+
+def _autotune_pairs(cfg, tables, overrides):
+    """Tile-count-adaptive pairs-kernel defaults (PERF_NOTES.md §r5).
+
+    The shipped defaults (subgroup 64, exact per-tile compaction key) are
+    tuned on the cat (31 tiles).  On big meshes the optimum moves — the
+    per-subgroup hoisted broadcasts and the (nc, R) key slab scale with
+    the tile count — and the measured points are:
+
+    - 20k-tri soup (nc=252):  s64 8.73 -> s16 11.79 Mray/s (+35%);
+      key_coarse=32 HURTS here (knc=8 unions are too coarse: 10.12)
+    - 200k-tri soup (nc=2053): s64 4.44 -> s16 5.85 -> s16+kc32
+      6.24 Mray/s (+41%)
+
+    Applied only when the user did not set the knob explicitly; the
+    thresholds sit between the measured regimes (cat nc=31 keeps s64;
+    kc32 engages once knc = nc/32 >= 32 unions stay fine-grained).
+    """
+    if tables.pairs_mesh is None:
+        return cfg
+    nc = int(tables.pairs_mesh.tile_aabb.shape[0])
+    auto = {}
+    if "pairs_subgroup" not in overrides and nc > 128:
+        auto["pairs_subgroup"] = 16
+    if "pairs_key_coarse" not in overrides and nc >= 1024:
+        auto["pairs_key_coarse"] = 32
+    return replace(cfg, **auto) if auto else cfg

@@ -135,3 +135,46 @@ def test_showcase_refraction_matches_oracle(rng):
     # All three special material branches exercised.
     assert int(np.asarray(stats.mirror).sum()) > 0
     assert int(np.asarray(stats.refract).sum()) > 0
+
+
+def test_pairs_autotune_big_mesh():
+    """Tile-count-adaptive pairs defaults (PERF_NOTES.md §r5): a big mesh
+    flips subgroup 64 -> 16 (measured +35-41%), key_coarse engages only
+    past 1024 tiles, the cat keeps the tuned defaults, and an explicit
+    user override always wins."""
+    from raytracinggpu_tpu.scene.mesh import build_mesh
+    from raytracinggpu_tpu.scene.obj import ObjMesh
+
+    rng = np.random.default_rng(3)
+    n = 20_000  # -> a few hundred tiles: past the subgroup threshold,
+    #             below the key_coarse one
+    V = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    B = V + rng.standard_normal((n, 3)).astype(np.float32) * 0.5
+    C = V + rng.standard_normal((n, 3)).astype(np.float32) * 0.5
+    verts = np.concatenate([V, B, C]).astype(np.float32)
+    vtx = np.stack([np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n],
+                   axis=1).astype(np.int32)
+    none = np.full((n, 3), -1, np.int32)
+    obj = ObjMesh(vertices=verts, normals=np.zeros((0, 3), np.float32),
+                  uvs=np.zeros((0, 3), np.float32), vtx=vtx, nrm=none,
+                  uv=none)
+    mesh = build_mesh(obj, builder="lbvh")
+
+    cfg, tables = build_preset("array_bvh", mesh=mesh, width=32, height=32,
+                               spp=1, max_depth=1)
+    nc = int(tables.pairs_mesh.tile_aabb.shape[0])
+    assert nc > 128
+    assert cfg.pairs_subgroup == 16
+    assert cfg.pairs_key_coarse == (32 if nc >= 1024 else 1)
+
+    # explicit override wins over the auto rule
+    cfg2, _ = build_preset("array_bvh", mesh=mesh, width=32, height=32,
+                           spp=1, max_depth=1, pairs_subgroup=64)
+    assert cfg2.pairs_subgroup == 64
+
+    # the cat (31 tiles) keeps the tuned defaults
+    cfg3, tables3 = build_preset("array_bvh", width=32, height=32, spp=1,
+                                 max_depth=1)
+    assert int(tables3.pairs_mesh.tile_aabb.shape[0]) <= 128
+    assert cfg3.pairs_subgroup == 64
+    assert cfg3.pairs_key_coarse == 1
